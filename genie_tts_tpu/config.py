@@ -1,0 +1,176 @@
+"""Configuration layer: model hyperparameters + runtime flags.
+
+Replaces the reference's scattered env-var reads
+(``/root/reference/src/genie_tts/Core/Resources.py:30-65``,
+``ModelManager.py:119``, ``Audio/ReferenceAudio.py:14-15``) with typed
+dataclasses. All env vars honored by the reference keep working.
+
+Model hyperparameters describe GPT-SoVITS V2 / V2ProPlus checkpoints
+(decoder geometry recoverable from the reference's ONNX key manifests,
+``/root/reference/src/genie_tts/Data/v2/Keys/t2s_onnx_keys.txt`` /
+``vits_onnx_keys.txt``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class T2SConfig:
+    """Text-to-semantic GPT decoder (AR transformer)."""
+    phoneme_vocab: int = 732          # GPT-SoVITS V2 symbol table size
+    semantic_vocab: int = 1025        # 1024 codes + EOS (id 1024)
+    embed_dim: int = 512
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_dim: int = 2048
+    bert_dim: int = 1024
+    eos_id: int = 1024
+    max_decode_steps: int = 500       # reference cap: Core/Inference.py:95
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class SoVITSConfig:
+    """VITS/SoVITS synthesizer (text encoder + MRTE, RVQ, flow, HiFi-GAN)."""
+    spec_channels: int = 1025         # n_fft 2048 -> 1025 bins
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6                 # text-encoder attention layers (split 3+3 around MRTE)
+    kernel_size: int = 3
+    mrte_channels: int = 512          # MRTE cross-attention width
+    ssl_dim: int = 768                # HuBERT feature dim
+    vq_codes: int = 1024
+    vq_dim: int = 768
+    gin_channels: int = 512           # speaker embedding width
+    # flow
+    flow_layers: int = 4              # residual coupling layers (flows 0,2,4,6)
+    wn_layers: int = 4
+    wn_kernel: int = 5
+    # HiFi-GAN generator
+    upsample_rates: Tuple[int, ...] = (10, 8, 2, 2, 2)   # hop 640 @ 32 kHz
+    upsample_kernels: Tuple[int, ...] = (16, 16, 8, 2, 2)
+    upsample_initial: int = 512
+    resblock_kernels: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    sample_rate: int = 32000
+    hop_length: int = 640
+    n_fft: int = 2048
+    win_length: int = 2048
+    semantic_frame_rate: int = 25     # Hz; upsampled 2x to 50 Hz latent frames
+    version: str = "v2"               # "v2" | "v2ProPlus"
+    # v2ProPlus additions
+    sv_dim: int = 20480               # speaker-verification embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    """chinese-hubert-base SSL feature extractor."""
+    conv_dims: Tuple[int, ...] = (512,) * 7
+    conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernels: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    embed_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    conv_pos_kernel: int = 128
+    conv_pos_groups: int = 16
+    sample_rate: int = 16000
+
+
+@dataclasses.dataclass(frozen=True)
+class RobertaConfig:
+    """chinese-roberta-wwm-ext-large for per-phoneme BERT features."""
+    vocab_size: int = 21128
+    embed_dim: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_dim: int = 4096
+    max_position: int = 512
+    type_vocab: int = 2
+    feature_layer: int = -3           # third-to-last hidden state
+
+
+# ---------------------------------------------------------------------------
+# Runtime config
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution knobs: precision, bucketing, mesh, caches."""
+    # Precision: weights bf16 on device, fp32 for LayerNorm/VQ/flow-sensitive math.
+    compute_dtype: str = "bfloat16"
+    # Static-shape buckets so jitted graphs never recompile.
+    phoneme_buckets: Tuple[int, ...] = (32, 64, 128, 256)
+    prompt_buckets: Tuple[int, ...] = (128, 256, 512)
+    kv_cache_len: int = 1024          # prompt (<=500) + decode (<=500) headroom
+    frame_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    decode_block: int = 16            # while_loop unroll block for EOS checks
+    # Mesh
+    dp_axis: str = "dp"
+    tp_axis: str = "tp"
+    # Caches (reference env var names honored)
+    max_cached_characters: int = dataclasses.field(
+        default_factory=lambda: _env_int("Max_Cached_Character_Models", 3))
+    max_cached_reference_audio: int = dataclasses.field(
+        default_factory=lambda: _env_int("Max_Cached_Reference_Audio", 10))
+
+
+# ---------------------------------------------------------------------------
+# Paths (GenieData layout parity: Core/Resources.py:30-65)
+# ---------------------------------------------------------------------------
+
+def genie_data_dir() -> Path:
+    return Path(os.environ.get("GENIE_DATA_DIR", "./GenieData"))
+
+
+def asset_path(name: str, env_override: Optional[str] = None) -> Path:
+    if env_override and env_override in os.environ:
+        return Path(os.environ[env_override])
+    return genie_data_dir() / name
+
+
+HUBERT_DIR_ENV = "GENIE_HUBERT_DIR"
+ROBERTA_DIR_ENV = "GENIE_ROBERTA_DIR"
+SV_MODEL_ENV = "GENIE_SV_MODEL"
+CHINESE_G2P_ENV = "GENIE_CHINESE_G2P_DIR"
+ENGLISH_G2P_ENV = "GENIE_ENGLISH_G2P_DIR"
+
+
+def hubert_dir() -> Path:
+    return asset_path("chinese-hubert-base", HUBERT_DIR_ENV)
+
+
+def roberta_dir() -> Path:
+    return asset_path("RoBERTa", ROBERTA_DIR_ENV)
+
+
+def sv_model_path() -> Path:
+    return asset_path("speaker_encoder.safetensors", SV_MODEL_ENV)
+
+
+def chinese_g2p_dir() -> Path:
+    return asset_path("G2P/Chinese", CHINESE_G2P_ENV)
+
+
+def english_g2p_dir() -> Path:
+    return asset_path("G2P/English", ENGLISH_G2P_ENV)

@@ -1,0 +1,254 @@
+"""Japanese grapheme-to-phoneme conversion.
+
+Produces OpenJTalk-style phones plus prosody marks in the GPT-SoVITS V2
+symbol inventory (``#``/``[``/``]``/``?``/``$``/``_`` prosody symbols,
+romaji phones ``a i u e o k s t n ... ky sh ch ts cl N``).
+
+Two backends:
+
+* **pyopenjtalk** (full): morphological analysis of arbitrary Japanese
+  (kanji included) via full-context HTS labels, with pitch-accent prosody
+  marks. Behavioral parity target:
+  ``/root/reference/src/genie_tts/G2P/Japanese/JapaneseG2P.py:64-150``.
+* **kana fallback** (pure Python, always available): direct kana-to-phone
+  transliteration for hiragana/katakana text. No pitch-accent marks are
+  emitted (OpenJTalk's accent dictionary is required for those); kanji
+  characters are dropped with a warning. Used when pyopenjtalk is not
+  installed so the framework stays importable and testable everywhere.
+
+The text pipeline (both backends): normalize -> split into Japanese runs /
+punctuation runs -> phonemize runs -> re-interleave punctuation -> map
+fullwidth punctuation to vocabulary symbols.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import List, Optional
+
+from .symbols import phones_to_ids
+
+logger = logging.getLogger(__name__)
+
+try:  # optional native backend
+    import pyopenjtalk  # type: ignore
+
+    _HAS_OPENJTALK = True
+except Exception:  # pragma: no cover - environment without pyopenjtalk
+    pyopenjtalk = None
+    _HAS_OPENJTALK = False
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+_REPEAT_PUNCT_RE = re.compile(r"([,./?!~…・])\1+")
+_PERCENT_RE = re.compile(r"[%％]")
+
+# Japanese content characters: kanji, kana, 々, fullwidth alnum, halfwidth kana.
+_JA_CHAR = (
+    r"A-Za-z\d々぀-ヿ一-鿿"
+    r"１-９Ａ-Ｚａ-ｚｦ-ﾝ"
+)
+_JA_RUN_RE = re.compile(f"[{_JA_CHAR}]+")
+_MARK_RUN_RE = re.compile(f"[^{_JA_CHAR}]+")
+
+_FULLWIDTH_PUNCT = {
+    "：": ",", "；": ",", "，": ",", "。": ".",
+    "！": "!", "？": "?", "\n": ".", "·": ",",
+    "、": ",", "...": "…",
+}
+
+
+def normalize_ja(text: str) -> str:
+    text = _PERCENT_RE.sub("パーセント", text)
+    text = _REPEAT_PUNCT_RE.sub(r"\1", text)
+    return text.lower()
+
+
+# ---------------------------------------------------------------------------
+# Kana fallback backend
+# ---------------------------------------------------------------------------
+
+# Base kana -> phone sequence (hiragana keys; katakana normalized to hiragana).
+_KANA_BASE = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "k a", "き": "k i", "く": "k u", "け": "k e", "こ": "k o",
+    "さ": "s a", "し": "sh i", "す": "s u", "せ": "s e", "そ": "s o",
+    "た": "t a", "ち": "ch i", "つ": "ts u", "て": "t e", "と": "t o",
+    "な": "n a", "に": "n i", "ぬ": "n u", "ね": "n e", "の": "n o",
+    "は": "h a", "ひ": "h i", "ふ": "f u", "へ": "h e", "ほ": "h o",
+    "ま": "m a", "み": "m i", "む": "m u", "め": "m e", "も": "m o",
+    "や": "y a", "ゆ": "y u", "よ": "y o",
+    "ら": "r a", "り": "r i", "る": "r u", "れ": "r e", "ろ": "r o",
+    "わ": "w a", "ゐ": "i", "ゑ": "e", "を": "o", "ん": "N",
+    "が": "g a", "ぎ": "g i", "ぐ": "g u", "げ": "g e", "ご": "g o",
+    "ざ": "z a", "じ": "j i", "ず": "z u", "ぜ": "z e", "ぞ": "z o",
+    "だ": "d a", "ぢ": "j i", "づ": "z u", "で": "d e", "ど": "d o",
+    "ば": "b a", "び": "b i", "ぶ": "b u", "べ": "b e", "ぼ": "b o",
+    "ぱ": "p a", "ぴ": "p i", "ぷ": "p u", "ぺ": "p e", "ぽ": "p o",
+    "ゔ": "v u",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
+    "ゎ": "w a", "っ": "cl",
+}
+
+# Palatalized digraphs: consonant kana + small ya/yu/yo.
+_PALATAL_ONSET = {
+    "き": "ky", "ぎ": "gy", "し": "sh", "じ": "j", "ち": "ch", "ぢ": "j",
+    "に": "ny", "ひ": "hy", "び": "by", "ぴ": "py", "み": "my", "り": "ry",
+    "け": "ky", "て": "ty",
+}
+_SMALL_Y = {"ゃ": "a", "ゅ": "u", "ょ": "o"}
+# Foreign-sound digraphs: kana + small vowel.
+_SMALL_VOWEL = {"ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o"}
+_FOREIGN_ONSET = {
+    "ふ": "f", "う": "w", "ゔ": "v", "て": "t", "で": "d", "と": "t", "ど": "d",
+    "つ": "ts", "ち": "ch", "し": "sh", "じ": "j",
+}
+
+_VOWELS = frozenset("aiueo")
+
+# Fallback-mode lexical exceptions: the topic particle は reads "wa". Full
+# particle detection needs morphology (pyopenjtalk); hardcode frequent
+# greetings so the kana path reads them naturally.
+_KANA_LEXICAL = [
+    ("こんにちは", "こんにちわ"), ("こんばんは", "こんばんわ"),
+    ("コンニチハ", "コンニチワ"), ("コンバンハ", "コンバンワ"),
+]
+
+
+def _to_hiragana(ch: str) -> str:
+    code = ord(ch)
+    if 0x30A1 <= code <= 0x30F6:  # katakana -> hiragana
+        return chr(code - 0x60)
+    return ch
+
+
+_warned_kanji = False
+
+
+def kana_to_phones(text: str) -> List[str]:
+    """Transliterate a kana run to OpenJTalk-style phones (no prosody)."""
+    global _warned_kanji
+    for src, dst in _KANA_LEXICAL:
+        if src in text:
+            text = text.replace(src, dst)
+    chars = [_to_hiragana(c) for c in text]
+    phones: List[str] = []
+    i = 0
+    while i < len(chars):
+        ch = chars[i]
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        if ch in _PALATAL_ONSET and nxt in _SMALL_Y:
+            phones.extend([_PALATAL_ONSET[ch], _SMALL_Y[nxt]])
+            i += 2
+            continue
+        if ch in _FOREIGN_ONSET and nxt in _SMALL_VOWEL:
+            phones.extend([_FOREIGN_ONSET[ch], _SMALL_VOWEL[nxt]])
+            i += 2
+            continue
+        if ch == "ー":  # long-vowel mark: repeat previous vowel
+            if phones and phones[-1] in _VOWELS:
+                phones.append(phones[-1])
+            i += 1
+            continue
+        seq = _KANA_BASE.get(ch)
+        if seq is not None:
+            phones.extend(seq.split())
+        elif not _warned_kanji:
+            _warned_kanji = True
+            logger.warning(
+                "Japanese kana-fallback G2P cannot read %r (install pyopenjtalk "
+                "for full kanji support); dropping such characters.", ch
+            )
+        i += 1
+    return phones
+
+
+# ---------------------------------------------------------------------------
+# pyopenjtalk backend (full-context label prosody extraction)
+# ---------------------------------------------------------------------------
+
+def _label_feature(pattern: str, label: str) -> int:
+    m = re.search(pattern, label)
+    return int(m.group(1)) if m else -50
+
+
+def openjtalk_g2p_prosody(text: str) -> List[str]:
+    """Phones + prosody marks from OpenJTalk full-context labels.
+
+    Standard prosody-symbol extraction (accent-phrase boundary ``#``, pitch
+    fall ``]``, pitch rise ``[``, question ``?``, end ``$``), matching the
+    reference's output symbol conventions.
+    """
+    labels = pyopenjtalk.make_label(pyopenjtalk.run_frontend(text))
+    out: List[str] = []
+    n_labels = len(labels)
+    for i, lab in enumerate(labels):
+        phone = re.search(r"\-(.*?)\+", lab).group(1)
+        if phone in "AEIOU":
+            phone = phone.lower()
+        if phone == "sil":
+            if i == 0:
+                out.append("^")
+            elif i == n_labels - 1:
+                out.append("?" if _label_feature(r"!(\d+)_", lab) == 1 else "$")
+            continue
+        if phone == "pau":
+            out.append("_")
+            continue
+        out.append(phone)
+
+        a1 = _label_feature(r"/A:([0-9\-]+)\+", lab)
+        a2 = _label_feature(r"\+(\d+)\+", lab)
+        a3 = _label_feature(r"\+(\d+)/", lab)
+        f1 = _label_feature(r"/F:(\d+)_", lab)
+        nxt = labels[i + 1] if i + 1 < n_labels else ""
+        a2_next = _label_feature(r"\+(\d+)\+", nxt)
+        if a3 == 1 and a2_next == 1 and phone in "aeiouAEIOUNcl":
+            out.append("#")  # accent-phrase boundary
+        elif a1 == 0 and a2_next == a2 + 1 and a2 != f1:
+            out.append("]")  # pitch fall
+        elif a2 == 1 and a2_next == 2:
+            out.append("[")  # pitch rise
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def japanese_to_phone_strs(text: str, use_openjtalk: Optional[bool] = None) -> List[str]:
+    """Full JA G2P: normalize, segment, phonemize, re-punctuate."""
+    if not text.strip():
+        return []
+    if use_openjtalk is None:
+        use_openjtalk = _HAS_OPENJTALK
+
+    norm = normalize_ja(text)
+    segments = _MARK_RUN_RE.split(norm)
+    marks = _MARK_RUN_RE.findall(norm)
+
+    phones: List[str] = []
+    for i, seg in enumerate(segments):
+        if seg:
+            if use_openjtalk:
+                # strip the per-segment ^ head and $/? tail markers
+                phones.extend(openjtalk_g2p_prosody(seg)[1:-1])
+            else:
+                phones.extend(kana_to_phones(seg))
+        if i < len(marks):
+            mark = marks[i].strip()
+            if mark:
+                phones.append(mark)
+
+    return [_FULLWIDTH_PUNCT.get(p, p) for p in phones]
+
+
+def japanese_to_phones(text: str) -> List[int]:
+    """JA text -> symbol ids (unknown symbols dropped, as in the reference)."""
+    return phones_to_ids(japanese_to_phone_strs(text))
+
+
+def has_openjtalk() -> bool:
+    return _HAS_OPENJTALK
