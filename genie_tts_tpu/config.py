@@ -39,6 +39,7 @@ class T2SConfig:
     num_heads: int = 16
     ffn_dim: int = 2048
     bert_dim: int = 1024
+    ssl_dim: int = 768            # HuBERT feature width (encoder prompt path)
     eos_id: int = 1024
     max_decode_steps: int = 500       # reference cap: Core/Inference.py:95
 

@@ -1,0 +1,353 @@
+"""Text-to-semantic (T2S) autoregressive GPT decoder — TPU-native.
+
+Re-implements the capability of the reference's three ONNX graphs
+(``t2s_encoder`` / ``t2s_first_stage_decoder`` / ``t2s_stage_decoder``,
+orchestrated by ``/root/reference/src/genie_tts/Core/Inference.py:63-109``)
+as two jitted stages with fully static shapes:
+
+* :func:`encode` — phoneme+BERT embedding and HuBERT->VQ prompt extraction
+  (capability of the ONNX encoder, 84 nodes);
+* :func:`generate` — prefill over the packed ``[text | prompt]`` sequence
+  followed by an **entirely on-device** ``lax.while_loop`` autoregressive
+  decode with a pre-allocated KV cache. The reference runs one ONNX session
+  call per decode step (<=500 host round-trips,
+  ``Core/Inference.py:95-106``); here the whole loop is one XLA program.
+
+Model geometry (24 layers x d512 x 16 heads, post-LN, ReLU FFN 2048,
+scaled-sinusoidal positions with learned alpha) matches GPT-SoVITS V2
+checkpoints as recoverable from the reference key manifest
+(``Data/v2/Keys/t2s_onnx_keys.txt``).
+
+Static-shape batching layout (per batch row, cache length S):
+
+    [ 0 .............. Sx )   text block (right-padded, len x_len[b])
+    [ Sx ......... Sx+Sp )    semantic prompt block (right-padded, len p_len[b])
+    [ Sx+Sp ............ )    decoded tokens, step t lives at Sx+Sp+t
+
+Attention masking covers the pad holes, so rows with different lengths
+batch together in one SPMD program (the foundation for continuous
+batching). Text attends bidirectionally within text; audio attends to text
+plus causally to audio — the GPT-SoVITS mask.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import T2SConfig
+from ..ops.layers import attention, layer_norm, linear, sine_position_table
+from ..ops.sampling import SamplingConfig, sample_token
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights for tests/benchmarks; real weights come from
+# the converter, genie_tts_tpu/convert/)
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: T2SConfig, dtype=jnp.bfloat16) -> Params:
+    ks = iter(jax.random.split(key, 32))
+    d, f, v = cfg.embed_dim, cfg.ffn_dim, cfg.semantic_vocab
+    L = cfg.num_layers
+
+    def dense(k, i, o):
+        return {
+            "w": (jax.random.normal(k, (i, o)) * (i ** -0.5)).astype(dtype),
+            "b": jnp.zeros((o,), dtype),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+    def stack(make):
+        leaves = [make(k) for k in jax.random.split(next(ks), L)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+    params = {
+        "text_embed": (jax.random.normal(next(ks), (cfg.phoneme_vocab, d)) * 0.02).astype(dtype),
+        "bert_proj": dense(next(ks), cfg.bert_dim, d),
+        "text_pos_alpha": jnp.ones((), jnp.float32),
+        "audio_embed": (jax.random.normal(next(ks), (v, d)) * 0.02).astype(dtype),
+        "audio_pos_alpha": jnp.ones((), jnp.float32),
+        "layers": stack(lambda k: {
+            "qkv": dense(k, d, 3 * d),
+            "out": dense(jax.random.fold_in(k, 1), d, d),
+            "ffn1": dense(jax.random.fold_in(k, 2), d, f),
+            "ffn2": dense(jax.random.fold_in(k, 3), f, d),
+            "norm1": ln(),
+            "norm2": ln(),
+        }),
+        "predict": {"w": (jax.random.normal(next(ks), (d, v)) * (d ** -0.5)).astype(dtype)},
+        # encoder side (ssl -> semantic prompt)
+        "ssl_proj": {
+            "w": (jax.random.normal(next(ks), (2, cfg.ssl_dim, cfg.ssl_dim)) * 0.03).astype(dtype),
+            "b": jnp.zeros((cfg.ssl_dim,), dtype),
+        },
+        "codebook": jax.random.normal(next(ks), (1024, cfg.ssl_dim)).astype(jnp.float32),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encoder: text embedding + prompt token extraction
+# ---------------------------------------------------------------------------
+
+def embed_text(params: Params, phoneme_ids: jnp.ndarray, bert: jnp.ndarray) -> jnp.ndarray:
+    """[B,Tx] ids + [B,Tx,1024] bert -> positioned text states [B,Tx,512].
+
+    x = text_embed[ids] + bert_proj(bert); x += alpha * sin_pos  (scale=False
+    variant of the GPT-SoVITS SinePositionalEmbedding).
+    """
+    x = params["text_embed"][phoneme_ids]
+    x = x + linear(params["bert_proj"], bert.astype(x.dtype))
+    pe = sine_position_table(x.shape[1], x.shape[2], dtype=jnp.float32)
+    x = x + (params["text_pos_alpha"] * pe).astype(x.dtype)[None]
+    return x
+
+
+def extract_prompt_tokens(params: Params, ssl_content: jnp.ndarray) -> jnp.ndarray:
+    """HuBERT features [B,Ts,768] -> semantic prompt ids [B,Ts//2].
+
+    Conv(768,768,k2,s2) projection followed by nearest-codebook lookup
+    (the quantizer encode path of the ONNX encoder). Distances in fp32 —
+    codebook assignment must be exact.
+    """
+    w = params["ssl_proj"]["w"].astype(jnp.float32)  # [2, 768, 768]
+    x = jax.lax.conv_general_dilated(
+        ssl_content.astype(jnp.float32), w,
+        window_strides=(2,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    ) + params["ssl_proj"]["b"].astype(jnp.float32)
+    cb = params["codebook"].astype(jnp.float32)  # [1024, 768]
+    # argmin_j ||x - c_j||^2 = argmin_j (||c_j||^2 - 2 x.c_j)
+    dots = jnp.einsum("btc,kc->btk", x, cb)
+    c2 = jnp.sum(cb * cb, axis=-1)
+    return jnp.argmin(c2[None, None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Transformer core
+# ---------------------------------------------------------------------------
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _layer_prefill(lp: Params, h: jnp.ndarray, mask: jnp.ndarray, num_heads: int):
+    """Post-LN transformer layer over the full prefill sequence.
+
+    Returns (hidden, (k, v)) with k/v shaped [B, H, T, Dh].
+    """
+    qkv = linear(lp["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
+    att = attention(q, k, v, mask)
+    h = layer_norm(lp["norm1"], h + linear(lp["out"], _merge_heads(att)))
+    ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
+    h = layer_norm(lp["norm2"], h + ff)
+    return h, (k, v)
+
+
+def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask, num_heads: int):
+    """One-token decode layer. h: [B,1,D]; caches [B,H,S,Dh]; pos: [B]."""
+    qkv = linear(lp["qkv"], h)
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, num_heads)        # [B,H,1,Dh]
+    k_new = _split_heads(k_new, num_heads)[:, :, 0]  # [B,H,Dh]
+    v_new = _split_heads(v_new, num_heads)[:, :, 0]
+    b_idx = jnp.arange(h.shape[0])
+    k_cache = k_cache.at[b_idx, :, pos].set(k_new)
+    v_cache = v_cache.at[b_idx, :, pos].set(v_new)
+    att = attention(q, k_cache, v_cache, kv_mask[:, None, None, :])
+    h = layer_norm(lp["norm1"], h + linear(lp["out"], _merge_heads(att)))
+    ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
+    h = layer_norm(lp["norm2"], h + ff)
+    return h, k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# Generate: prefill + on-device AR decode
+# ---------------------------------------------------------------------------
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray   # [B, max_steps] int32 semantic tokens (incl. final EOS/0)
+    counts: jnp.ndarray   # [B] int32 number of emitted tokens
+    steps: jnp.ndarray    # [] int32 loop iterations executed
+
+
+def _prefill_mask(Sx: int, Sp: int, x_len: jnp.ndarray, p_len: jnp.ndarray) -> jnp.ndarray:
+    """[B, S_pre, S_pre] bool attention mask for the packed prefill sequence."""
+    S = Sx + Sp
+    qi = jnp.arange(S)[None, :, None]
+    kj = jnp.arange(S)[None, None, :]
+    x_len = x_len[:, None, None]
+    p_len = p_len[:, None, None]
+    k_is_text = (kj < x_len)
+    k_is_prompt = (kj >= Sx) & (kj < Sx + p_len)
+    q_is_text = qi < Sx
+    # text query: attends text block only; audio query: text + causal prompt
+    causal = kj <= qi
+    return jnp.where(q_is_text, k_is_text, k_is_text | (k_is_prompt & causal))
+
+
+def prefill(
+    params: Params,
+    cfg: T2SConfig,
+    x: jnp.ndarray,          # [B, Sx, D] positioned text states
+    x_len: jnp.ndarray,      # [B]
+    prompts: jnp.ndarray,    # [B, Sp] semantic prompt ids (right-padded)
+    p_len: jnp.ndarray,      # [B]
+    cache_len: int,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Run the packed sequence through all layers, build the KV cache.
+
+    Returns (logits_first [B, V] fp32, (k_cache, v_cache) each
+    [L, B, H, cache_len, Dh]).
+    """
+    B, Sx, D = x.shape
+    Sp = prompts.shape[1]
+    H, L = cfg.num_heads, cfg.num_layers
+
+    y_emb = params["audio_embed"][prompts]
+    pe = sine_position_table(Sp, D, dtype=jnp.float32)
+    y = y_emb + (params["audio_pos_alpha"] * pe).astype(y_emb.dtype)[None]
+    h = jnp.concatenate([x, y], axis=1)                       # [B, S_pre, D]
+    mask = _prefill_mask(Sx, Sp, x_len, p_len)[:, None]       # [B,1,S,S]
+
+    def body(hid, lp):
+        hid, (k, v) = _layer_prefill(lp, hid, mask, H)
+        return hid, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(body, h, params["layers"])
+    # ks/vs: [L, B, H, S_pre, Dh] -> pad to cache_len
+    pad = cache_len - (Sx + Sp)
+    k_cache = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    v_cache = jnp.pad(vs, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+
+    # logits at the last valid prompt position of each row
+    last_idx = Sx + p_len - 1                                  # [B]
+    h_last = h[jnp.arange(B), last_idx]                        # [B, D]
+    logits = jnp.dot(h_last.astype(jnp.float32), params["predict"]["w"].astype(jnp.float32))
+    return logits, (k_cache, v_cache)
+
+
+def generate(
+    params: Params,
+    cfg: T2SConfig,
+    scfg: SamplingConfig,
+    key: jax.Array,
+    x: jnp.ndarray,
+    x_len: jnp.ndarray,
+    prompts: jnp.ndarray,
+    p_len: jnp.ndarray,
+    max_steps: int,
+    cache_len: int,
+) -> GenerateResult:
+    """Prefill + sample + full AR decode in one XLA program."""
+    B, Sx, D = x.shape
+    Sp = prompts.shape[1]
+    H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
+    Dh = cfg.head_dim
+
+    logits0, (k_cache, v_cache) = prefill(params, cfg, x, x_len, prompts, p_len, cache_len)
+
+    # histogram of emitted tokens for repetition penalty (prompt included)
+    hist0 = jnp.zeros((B, V), jnp.int32)
+    prompt_valid = jnp.arange(Sp)[None, :] < p_len[:, None]
+    hist0 = hist0.at[jnp.arange(B)[:, None], prompts].add(prompt_valid.astype(jnp.int32))
+
+    # first token: EOS forbidden (GPT-SoVITS masks EOS on the first draw)
+    forbid_eos = jnp.zeros((V,), bool).at[cfg.eos_id].set(True)
+    key, k0 = jax.random.split(key)
+    tok0 = sample_token(k0, logits0, hist0, scfg, forbid=forbid_eos)  # [B]
+
+    tokens = jnp.zeros((B, max_steps), jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    hist0 = hist0.at[jnp.arange(B), tok0].add(1)
+
+    kv_positions = jnp.arange(cache_len)[None, :]              # [1, S]
+    pe_full = sine_position_table(cache_len, D, dtype=jnp.float32)
+
+    def cond(carry):
+        step, done, *_ = carry
+        return (step < max_steps) & ~jnp.all(done)
+
+    def body(carry):
+        step, done, tokens, counts, hist, k_cache, v_cache, key = carry
+        cur_tok = tokens[jnp.arange(B), step - 1]
+        write_pos = Sx + Sp + step - 1                         # static offset + step
+        audio_pos = p_len + step - 1                           # audio position index [B]
+
+        emb = params["audio_embed"][cur_tok]                   # [B, D]
+        pos_emb = pe_full[audio_pos]                           # [B, D]
+        h = (emb + (params["audio_pos_alpha"] * pos_emb).astype(emb.dtype))[:, None]
+
+        # keys visible: valid text, valid prompt, decoded tokens up to now
+        kv_mask = (
+            (kv_positions < x_len[:, None])
+            | ((kv_positions >= Sx) & (kv_positions < Sx + p_len[:, None]))
+            | ((kv_positions >= Sx + Sp) & (kv_positions <= Sx + Sp + step - 1))
+        )
+        pos_b = jnp.full((B,), write_pos, jnp.int32)
+
+        def layer_body(h, inputs):
+            lp, kc, vc = inputs
+            h, kc, vc = _layer_decode(lp, h, kc, vc, pos_b, kv_mask, H)
+            return h, (kc, vc)
+
+        h, (k_cache, v_cache) = jax.lax.scan(layer_body, h, (params["layers"], k_cache, v_cache))
+        logits = jnp.dot(
+            h[:, 0].astype(jnp.float32), params["predict"]["w"].astype(jnp.float32)
+        )                                                      # [B, V]
+
+        key, kstep = jax.random.split(key)
+        nxt = sample_token(kstep, logits, hist, scfg)
+        argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
+        now_done = argmax_eos | (nxt == cfg.eos_id)
+
+        nxt = jnp.where(done, cfg.eos_id, nxt)                 # freeze finished rows
+        tokens = tokens.at[:, step].set(jnp.where(done, tokens[:, step], nxt))
+        hist = hist.at[jnp.arange(B), nxt].add((~done).astype(jnp.int32))
+        counts = jnp.where(done, counts, step + 1)
+        done = done | now_done
+        return step + 1, done, tokens, counts, hist, k_cache, v_cache, key
+
+    done0 = jnp.zeros((B,), bool)
+    counts0 = jnp.ones((B,), jnp.int32)
+    step, done, tokens, counts, hist, k_cache, v_cache, key = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), done0, tokens, counts0, hist0, k_cache, v_cache, key)
+    )
+    return GenerateResult(tokens=tokens, counts=counts, steps=step)
+
+
+def finalize_semantic_tokens(tokens, counts, eos_id: int = 1024):
+    """Host-side post-processing matching the reference quirks.
+
+    The reference zeroes the final emitted token (``y[0, -1] = 0``,
+    ``Core/Inference.py:108``) — replacing the EOS with semantic code 0 and
+    keeping it — then trims anything >= 1024 that remains
+    (``Core/Inference.py:41-44``). Returns a list of 1-D numpy arrays.
+    """
+    import numpy as np
+
+    tokens = np.asarray(tokens)
+    counts = np.asarray(counts)
+    out = []
+    for row, cnt in zip(tokens, counts):
+        seq = row[: int(cnt)].copy()
+        if len(seq):
+            seq[-1] = 0
+        bad = np.nonzero(seq >= eos_id)[0]
+        if len(bad):
+            seq = seq[: bad[0]]
+        out.append(seq)
+    return out

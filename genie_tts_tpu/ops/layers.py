@@ -1,0 +1,113 @@
+"""Shared neural-net building blocks (pure functions over param pytrees).
+
+Conventions:
+* params are nested dicts of jnp arrays;
+* linear weights are stored ``[in, out]`` (row-vector convention, matches
+  ``x @ w + b``);
+* conv1d weights are stored ``[width, in, out]`` (feature-last lax.conv);
+* activations flow in ``compute_dtype`` (bf16 by default), while LayerNorm
+  statistics and softmax run in fp32 for stability.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, params["w"], preferred_element_type=x.dtype)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def layer_norm(params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * params["scale"] + params["bias"]
+    return out.astype(x.dtype)
+
+
+def conv1d(
+    params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """1D convolution. ``x``: [B, T, C_in] -> [B, T', C_out].
+
+    Weight layout [width, in/groups, out].
+    """
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def conv_transpose1d(params, x: jnp.ndarray, stride: int, padding: int = 0) -> jnp.ndarray:
+    """Transposed 1D conv matching torch ConvTranspose1d semantics.
+
+    ``x``: [B, T, C_in] -> [B, (T-1)*stride + width - 2*padding, C_out].
+    Weight layout [width, in, out] (already transposed at convert time).
+    """
+    w = params["w"].astype(x.dtype)
+    width = w.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, 0),
+        window_strides=(1,),
+        padding=[(width - 1 - padding, width - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def sine_position_table(max_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Standard sinusoidal position table [max_len, dim]."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-jnp.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((max_len, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+    return pe.astype(dtype)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention, softmax in fp32.
+
+    q: [B, H, Tq, D], k/v: [B, H, Tk, D]; mask: broadcastable to
+    [B, H, Tq, Tk], True = attend.
+    """
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.float32(-1e10))
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=q.dtype)

@@ -1,0 +1,87 @@
+"""Jit-safe categorical sampling for the AR semantic decoder.
+
+Implements the GPT-SoVITS sampling stack (repetition penalty over previously
+emitted tokens, top-k / top-p filtering, temperature) as pure static-shape
+JAX: everything operates on fixed-size ``[B, V]`` logits and a fixed-size
+token-count histogram, so it traces once and lives inside the decode
+``lax.while_loop``.
+
+Sampling itself uses the Gumbel-max trick (argmax of perturbed logits), which
+is a categorical draw without materializing a softmax.
+
+Capability parity: the reference bakes sampling into its ONNX stage-decoder
+graph (`/root/reference/src/genie_tts/Data/v2/Models/t2s_stage_decoder_fp32.onnx`,
+consumed by `Core/Inference.py:95-106`); defaults follow GPT-SoVITS webui.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    top_k: int = 15
+    top_p: float = 1.0
+    temperature: float = 1.0
+    repetition_penalty: float = 1.35
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray, token_counts: jnp.ndarray, penalty: float
+) -> jnp.ndarray:
+    """Penalize every token already emitted (count > 0).
+
+    ``logits``: [B, V] fp32. ``token_counts``: [B, V] int32 histogram of
+    previously generated tokens (prompt + decoded).
+    """
+    if penalty == 1.0:
+        return logits
+    seen = token_counts > 0
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def top_k_top_p_filter(logits: jnp.ndarray, top_k: int, top_p: float) -> jnp.ndarray:
+    """Mask logits outside the top-k / nucleus set with -inf. [B, V] fp32."""
+    neg = jnp.float32(-1e10)
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep first)
+        keep_sorted = cum - probs < top_p
+        keep = jnp.zeros_like(keep_sorted).at[
+            jnp.arange(logits.shape[0])[:, None], sort_idx
+        ].set(keep_sorted)
+        logits = jnp.where(keep, logits, neg)
+    return logits
+
+
+def sample_token(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    token_counts: jnp.ndarray,
+    cfg: SamplingConfig,
+    forbid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One categorical draw per row. Returns [B] int32.
+
+    ``forbid``: optional [V] bool — tokens never sampled (e.g. EOS on the
+    very first decode step, matching GPT-SoVITS's first-step EOS mask).
+    """
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, token_counts, cfg.repetition_penalty)
+    if forbid is not None:
+        logits = jnp.where(forbid[None, :], jnp.float32(-1e10), logits)
+    logits = top_k_top_p_filter(logits, cfg.top_k, cfg.top_p)
+    temperature = max(cfg.temperature, 1e-5)
+    gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    return jnp.argmax(logits / temperature + gumbel, axis=-1).astype(jnp.int32)

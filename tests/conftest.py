@@ -2,14 +2,23 @@
 
 Multi-chip sharding is validated without TPU hardware via
 ``xla_force_host_platform_device_count`` (the TPU substitute for
-"multi-node without a real cluster"); set BEFORE jax import.
+"multi-node without a real cluster").
+
+NOTE: in this environment the axon TPU plugin ignores the
+``JAX_PLATFORMS`` env var, so the backend must be forced via
+``jax.config`` after import (before first use).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_test_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

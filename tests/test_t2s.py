@@ -1,0 +1,146 @@
+"""T2S model tests: prefill/decode semantics, masking, EOS handling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genie_tts_tpu.config import T2SConfig
+from genie_tts_tpu.models import t2s
+from genie_tts_tpu.ops.sampling import SamplingConfig
+
+# A tiny config so tests run in milliseconds.
+CFG = T2SConfig(
+    phoneme_vocab=40, semantic_vocab=33, embed_dim=32, num_layers=2,
+    num_heads=4, ffn_dim=64, bert_dim=16, ssl_dim=8, eos_id=32,
+    max_decode_steps=16,
+)
+SCFG = SamplingConfig(top_k=5, temperature=1.0, repetition_penalty=1.2)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return t2s.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def test_embed_text_shape(params):
+    ids = jnp.zeros((2, 10), jnp.int32)
+    bert = jnp.zeros((2, 10, CFG.bert_dim))
+    x = t2s.embed_text(params, ids, bert)
+    assert x.shape == (2, 10, CFG.embed_dim)
+
+
+def test_extract_prompt_tokens(params):
+    ssl = jnp.ones((1, 12, CFG.ssl_dim))
+    toks = t2s.extract_prompt_tokens(params, ssl)
+    assert toks.shape == (1, 6)  # stride-2 conv halves T
+    assert toks.dtype == jnp.int32
+    assert (toks >= 0).all() and (toks < 1024).all()
+
+
+def test_extract_prompt_nearest_codebook(params):
+    # feed codebook rows through an identity-free check: nearest code of a
+    # vector equal to code j must be j when ssl_proj is bypassed
+    cb = params["codebook"]
+    x = cb[None, :5, :]  # [1, 5, 768-like]
+    dots = jnp.einsum("btc,kc->btk", x, cb)
+    c2 = jnp.sum(cb * cb, axis=-1)
+    ids = jnp.argmin(c2[None, None, :] - 2 * dots, axis=-1)
+    assert (ids[0] == jnp.arange(5)).all()
+
+
+def test_prefill_shapes(params):
+    B, Sx, Sp, S = 2, 8, 6, 32
+    x = t2s.embed_text(params, jnp.zeros((B, Sx), jnp.int32), jnp.zeros((B, Sx, CFG.bert_dim)))
+    logits, (kc, vc) = t2s.prefill(
+        params, CFG, x, jnp.array([8, 5]), jnp.zeros((B, Sp), jnp.int32),
+        jnp.array([6, 3]), cache_len=S,
+    )
+    assert logits.shape == (B, CFG.semantic_vocab)
+    assert kc.shape == (CFG.num_layers, B, CFG.num_heads, S, CFG.embed_dim // CFG.num_heads)
+
+
+def test_generate_runs_and_counts(params):
+    B, Sx, Sp = 1, 8, 4
+    x = t2s.embed_text(params, jnp.zeros((B, Sx), jnp.int32), jnp.zeros((B, Sx, CFG.bert_dim)))
+    res = t2s.generate(
+        params, CFG, SCFG, jax.random.PRNGKey(1), x, jnp.array([8]),
+        jnp.zeros((B, Sp), jnp.int32), jnp.array([4]),
+        max_steps=CFG.max_decode_steps, cache_len=Sx + Sp + CFG.max_decode_steps,
+    )
+    assert res.tokens.shape == (B, CFG.max_decode_steps)
+    assert 1 <= int(res.counts[0]) <= CFG.max_decode_steps
+    # all valid emitted tokens are in-vocab
+    seq = np.asarray(res.tokens[0][: int(res.counts[0])])
+    assert (seq >= 0).all() and (seq <= CFG.eos_id).all()
+
+
+def test_first_token_never_eos(params):
+    # first sampled token must never be EOS regardless of seed
+    B, Sx, Sp = 1, 6, 4
+    x = t2s.embed_text(params, jnp.zeros((B, Sx), jnp.int32), jnp.zeros((B, Sx, CFG.bert_dim)))
+    for seed in range(5):
+        res = t2s.generate(
+            params, CFG, SCFG, jax.random.PRNGKey(seed), x, jnp.array([6]),
+            jnp.zeros((B, Sp), jnp.int32), jnp.array([4]),
+            max_steps=8, cache_len=Sx + Sp + 8,
+        )
+        assert int(res.tokens[0, 0]) != CFG.eos_id
+
+
+def test_padding_invariance(params):
+    """A row's result must not depend on pad width (mask correctness)."""
+    ids = jnp.array([[3, 5, 7, 2]], jnp.int32)
+    bert = jnp.zeros((1, 4, CFG.bert_dim))
+    prompts = jnp.array([[1, 2, 3]], jnp.int32)
+
+    def run(Sx, Sp):
+        ids_p = jnp.pad(ids, ((0, 0), (0, Sx - 4)))
+        bert_p = jnp.pad(bert, ((0, 0), (0, Sx - 4), (0, 0)))
+        x = t2s.embed_text(params, ids_p, bert_p)
+        logits, _ = t2s.prefill(
+            params, CFG, x, jnp.array([4]), jnp.pad(prompts, ((0, 0), (0, Sp - 3))),
+            jnp.array([3]), cache_len=Sx + Sp + 4,
+        )
+        return np.asarray(logits)
+
+    a = run(4, 3)     # no padding
+    b = run(10, 8)    # heavy padding
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_row_independence(params):
+    """Batched rows must produce the same logits as solo runs."""
+    idsA = jnp.array([3, 5, 7, 2, 0, 0], jnp.int32)
+    idsB = jnp.array([9, 1, 4, 6, 8, 2], jnp.int32)
+    bert = jnp.zeros((6, CFG.bert_dim))
+    prm = jnp.array([4, 5, 6, 0], jnp.int32)
+
+    def run(ids_batch, x_len, p_len):
+        B = ids_batch.shape[0]
+        x = t2s.embed_text(params, ids_batch, jnp.stack([bert] * B))
+        logits, _ = t2s.prefill(
+            params, CFG, x, x_len, jnp.stack([prm] * B), p_len, cache_len=16,
+        )
+        return np.asarray(logits)
+
+    both = run(jnp.stack([idsA, idsB]), jnp.array([4, 6]), jnp.array([3, 4]))
+    solo_a = run(idsA[None], jnp.array([4]), jnp.array([3]))
+    solo_b = run(idsB[None], jnp.array([6]), jnp.array([4]))
+    np.testing.assert_allclose(both[0], solo_a[0], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(both[1], solo_b[0], rtol=2e-4, atol=2e-4)
+
+
+def test_finalize_semantic_tokens():
+    tokens = np.array([[5, 6, 7, 32, 0, 0]])
+    counts = np.array([4])  # emitted: 5 6 7 EOS
+    out = t2s.finalize_semantic_tokens(tokens, counts, eos_id=32)
+    # EOS replaced by 0 and kept (reference y[0,-1]=0 quirk)
+    np.testing.assert_array_equal(out[0], [5, 6, 7, 0])
+
+
+def test_finalize_trims_interior_eos():
+    tokens = np.array([[5, 33, 7, 32]])
+    counts = np.array([4])
+    out = t2s.finalize_semantic_tokens(tokens, counts, eos_id=32)
+    # last zeroed, then interior >=eos trimmed
+    np.testing.assert_array_equal(out[0], [5])
