@@ -1,0 +1,131 @@
+"""Benchmark: 100-sentence Japanese latency suite on one TPU chip.
+
+Mirrors the reference's README benchmark (100 JA sentences of ~20 chars,
+mean first-inference latency 1.13 s on an i7-13620H CPU,
+`/root/reference/README.md:44-51`). Full pipeline per utterance: host JA
+G2P -> bucketed T2S prefill + on-device AR decode (pinned at 50 semantic
+tokens ~= 2 s of audio, 25 Hz) -> SoVITS vocode -> host fetch.
+
+Prints ONE JSON line: utterances/sec/chip, vs_baseline = ratio over the
+reference's 1/1.13s = 0.885 utt/s.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_UTT_PER_SEC = 1.0 / 1.13   # reference README headline
+DECODE_STEPS = 50                    # ~2 s of audio at 25 Hz semantic rate
+
+JA_SENTENCES = [
+    "きょうはとてもいいてんきですね。",
+    "あしたのあさ、こうえんへいきましょう。",
+    "このほんはとてもおもしろかったです。",
+    "でんしゃがすこしおくれているようです。",
+    "つぎのえきでのりかえてください。",
+    "コーヒーをいっぱいおねがいします。",
+    "きのうのよるはゆっくりやすみました。",
+    "らいしゅうのてんきがしんぱいです。",
+    "このみせのりょうりはおいしいです。",
+    "ちょっとまってください、すぐいきます。",
+]
+
+
+def build_suite(n=100):
+    return [JA_SENTENCES[i % len(JA_SENTENCES)] for i in range(n)]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from genie_tts_tpu.config import RuntimeConfig, SoVITSConfig, T2SConfig
+    from genie_tts_tpu.frontend.g2p_ja import japanese_to_phones
+    from genie_tts_tpu.models import t2s
+    from genie_tts_tpu.ops.sampling import SamplingConfig
+    from genie_tts_tpu.runtime.buckets import pad_to, pick_bucket
+    from genie_tts_tpu.runtime.engine import (
+        TTSEngine, make_random_character, make_random_reference,
+    )
+
+    backend = jax.default_backend()
+    cfg = RuntimeConfig()
+    engine = TTSEngine(cfg)
+    tcfg = T2SConfig()
+    vcfg = SoVITSConfig()
+    char = make_random_character(t2s_cfg=tcfg, sovits_cfg=vcfg, dtype=jnp.bfloat16)
+    ref = make_random_reference(char, engine, ref_seconds=5.0)
+    scfg = SamplingConfig()
+
+    suite = build_suite(100)
+
+    def synth(text, seed):
+        phones = np.asarray(japanese_to_phones(text), np.int32)
+        bert = np.zeros((len(phones), tcfg.bert_dim), np.float32)
+        all_phones = np.concatenate([ref.phones, phones]).astype(np.int32)
+        all_bert = np.concatenate([ref.bert, bert]).astype(np.float32)
+        x_len = len(all_phones)
+        x_bucket = pick_bucket(x_len, cfg.phoneme_buckets)
+        p_len = len(ref.prompt_tokens)
+        p_bucket = pick_bucket(p_len, cfg.prompt_buckets)
+        key = jax.random.PRNGKey(seed)
+        kg, ks = jax.random.split(key)
+        x = engine._embed_text(
+            char.t2s_params,
+            jnp.asarray(pad_to(all_phones, x_bucket))[None],
+            jnp.asarray(pad_to(all_bert, x_bucket, axis=0))[None])
+        res = engine._generate(
+            char.t2s_params, tcfg, scfg, kg, x, jnp.array([x_len]),
+            jnp.asarray(pad_to(ref.prompt_tokens.astype(np.int32), p_bucket))[None],
+            jnp.array([p_len]),
+            max_steps=DECODE_STEPS, cache_len=x_bucket + p_bucket + DECODE_STEPS,
+            min_steps=DECODE_STEPS)
+        codes = t2s.finalize_semantic_tokens(res.tokens, res.counts, tcfg.eos_id)[0]
+        c_bucket = pick_bucket(len(codes), cfg.frame_buckets)
+        t_bucket = pick_bucket(len(phones), cfg.phoneme_buckets)
+        audio = engine._synthesize(
+            char.sovits_params, vcfg, ks,
+            jnp.asarray(pad_to(codes.astype(np.int32), c_bucket))[None],
+            jnp.array([len(codes)]),
+            jnp.asarray(pad_to(phones, t_bucket))[None],
+            jnp.array([len(phones)]),
+            jnp.asarray(ref.ge)[None], jnp.asarray(ref.ge_mrte)[None], 0.5)
+        return np.asarray(audio[0, : 2 * len(codes) * vcfg.hop_length])
+
+    # warmup / compile all buckets
+    t0 = time.perf_counter()
+    for s in suite[:3]:
+        synth(s, 0)
+    compile_s = time.perf_counter() - t0
+
+    lat = []
+    t0 = time.perf_counter()
+    for i, s in enumerate(suite):
+        t1 = time.perf_counter()
+        audio = synth(s, i)
+        lat.append(time.perf_counter() - t1)
+    wall = time.perf_counter() - t0
+
+    lat = np.array(lat)
+    audio_secs = 2 * DECODE_STEPS / 50.0  # 2 s per utterance
+    utt_per_sec = len(suite) / wall
+    result = {
+        "metric": "ja100_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+        "extra": {
+            "backend": backend,
+            "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+            "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
+            "rtf": round(float(np.median(lat)) / audio_secs, 4),
+            "decode_steps": DECODE_STEPS,
+            "compile_s": round(compile_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

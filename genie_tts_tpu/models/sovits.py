@@ -372,6 +372,13 @@ def reference_embedding(params, cfg: SoVITSConfig, spec: jnp.ndarray, spec_len: 
 # Random init (tests / benches; real weights come from convert/)
 # ---------------------------------------------------------------------------
 
+def _key_stream(key):
+    i = 0
+    while True:
+        yield jax.random.fold_in(key, i)
+        i += 1
+
+
 def _dense(k, i, o, dtype):
     return {"w": (jax.random.normal(k, (i, o)) * (i ** -0.5)).astype(dtype),
             "b": jnp.zeros((o,), dtype)}
@@ -405,7 +412,7 @@ def _enc_stack(key, n_layers, C, F, n_heads, kernel, dtype):
 
 
 def init_params(key: jax.Array, cfg: SoVITSConfig, dtype=jnp.bfloat16) -> Params:
-    ks = iter(jax.random.split(key, 64))
+    ks = _key_stream(key)
     C, F, H = cfg.hidden_channels, cfg.filter_channels, cfg.n_heads
     gin = cfg.gin_channels
     half = cfg.inter_channels // 2

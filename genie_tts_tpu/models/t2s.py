@@ -251,8 +251,12 @@ def generate(
     p_len: jnp.ndarray,
     max_steps: int,
     cache_len: int,
+    min_steps: int = 0,
 ) -> GenerateResult:
-    """Prefill + sample + full AR decode in one XLA program."""
+    """Prefill + sample + full AR decode in one XLA program.
+
+    ``min_steps``: EOS may not fire before this many tokens (0 = reference
+    behavior; also used to pin decode length in benchmarks)."""
     B, Sx, D = x.shape
     Sp = prompts.shape[1]
     H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
@@ -312,7 +316,7 @@ def generate(
         key, kstep = jax.random.split(key)
         nxt = sample_token(kstep, logits, hist, scfg)
         argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
-        now_done = argmax_eos | (nxt == cfg.eos_id)
+        now_done = (argmax_eos | (nxt == cfg.eos_id)) & (step >= min_steps)
 
         nxt = jnp.where(done, cfg.eos_id, nxt)                 # freeze finished rows
         tokens = tokens.at[:, step].set(jnp.where(done, tokens[:, step], nxt))
@@ -327,6 +331,61 @@ def generate(
         cond, body, (jnp.int32(1), done0, tokens, counts0, hist0, k_cache, v_cache, key)
     )
     return GenerateResult(tokens=tokens, counts=counts, steps=step)
+
+
+# ---------------------------------------------------------------------------
+# Training (teacher-forced) — fine-tuning support; also exercised by the
+# multi-chip dryrun (dp x tp sharded train step in parallel/train.py)
+# ---------------------------------------------------------------------------
+
+def forward_train(
+    params: Params,
+    cfg: T2SConfig,
+    phones: jnp.ndarray,      # [B, Sx]
+    bert: jnp.ndarray,        # [B, Sx, bert_dim]
+    x_len: jnp.ndarray,       # [B]
+    semantic: jnp.ndarray,    # [B, Sy] target semantic tokens (incl. prompt)
+    sem_len: jnp.ndarray,     # [B]
+) -> jnp.ndarray:
+    """Teacher-forced logits over the audio block: [B, Sy, V].
+
+    Position t predicts semantic[t + 1]; the standard GPT-SoVITS T2S
+    training objective (next-token CE over audio positions, EOS appended).
+    """
+    x = embed_text(params, phones, bert)
+    B, Sx, D = x.shape
+    Sy = semantic.shape[1]
+    y_emb = params["audio_embed"][semantic]
+    pe = sine_position_table(Sy, D, dtype=jnp.float32)
+    y = y_emb + (params["audio_pos_alpha"] * pe).astype(y_emb.dtype)[None]
+    h = jnp.concatenate([x, y], axis=1)
+    mask = _prefill_mask(Sx, Sy, x_len, sem_len)[:, None]
+
+    def body(hid, lp):
+        hid, _ = _layer_prefill(lp, hid, mask, cfg.num_heads)
+        return hid, None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    h_audio = h[:, Sx:]
+    return jnp.dot(h_audio.astype(jnp.float32),
+                   params["predict"]["w"].astype(jnp.float32))
+
+
+def train_loss(params, cfg: T2SConfig, batch) -> jnp.ndarray:
+    """Masked next-token cross-entropy. batch keys: phones, bert, x_len,
+    semantic, sem_len. Targets: semantic shifted left, EOS at the end."""
+    logits = forward_train(params, cfg, batch["phones"], batch["bert"],
+                           batch["x_len"], batch["semantic"], batch["sem_len"])
+    B, Sy, V = logits.shape
+    targets = jnp.concatenate(
+        [batch["semantic"][:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    # position sem_len-1 predicts EOS
+    pos = jnp.arange(Sy)[None, :]
+    targets = jnp.where(pos == batch["sem_len"][:, None] - 1, cfg.eos_id, targets)
+    valid = (pos < batch["sem_len"][:, None]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def finalize_semantic_tokens(tokens, counts, eos_id: int = 1024):

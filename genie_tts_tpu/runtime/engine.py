@@ -68,7 +68,7 @@ class TTSEngine:
         # new bucket shapes)
         self._generate = jax.jit(
             t2s.generate,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps"),
         )
         self._embed_text = jax.jit(t2s.embed_text)
         self._extract_prompt = jax.jit(t2s.extract_prompt_tokens)

@@ -1,0 +1,175 @@
+"""Converter tests: layout transforms verified against torch as the oracle,
+plus schema round-trip through safetensors."""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from genie_tts_tpu.config import SoVITSConfig, T2SConfig  # noqa: E402
+from genie_tts_tpu.convert import torch_convert as tc  # noqa: E402
+from genie_tts_tpu.convert.io import (  # noqa: E402
+    flatten_tree, load_params, save_params, unflatten_tree,
+)
+from genie_tts_tpu.ops.layers import conv1d, conv_transpose1d, linear  # noqa: E402
+
+
+def to_np(t):
+    return t.detach().numpy()
+
+
+class TestLayoutParity:
+    def test_linear(self):
+        m = torch.nn.Linear(6, 4)
+        x = torch.randn(2, 5, 6)
+        ref = to_np(m(x))
+        p = {"w": to_np(m.weight).T, "b": to_np(m.bias)}
+        out = np.asarray(linear(jax.tree.map(jnp.asarray, p), jnp.asarray(to_np(x))))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("k,s,pad,dil,groups", [
+        (1, 1, 0, 1, 1), (3, 1, 1, 1, 1), (5, 1, 2, 1, 1),
+        (3, 1, 3, 3, 1), (2, 2, 0, 1, 1), (4, 1, 2, 1, 2),
+    ])
+    def test_conv1d(self, k, s, pad, dil, groups):
+        m = torch.nn.Conv1d(4, 8, k, stride=s, padding=pad, dilation=dil, groups=groups)
+        x = torch.randn(2, 4, 16)
+        ref = to_np(m(x)).transpose(0, 2, 1)  # NCW -> NWC
+        p = {"w": to_np(m.weight).transpose(2, 1, 0), "b": to_np(m.bias)}
+        out = np.asarray(conv1d(
+            jax.tree.map(jnp.asarray, p), jnp.asarray(to_np(x).transpose(0, 2, 1)),
+            stride=s, padding=pad, dilation=dil, groups=groups))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("k,s", [(16, 10), (16, 8), (8, 2), (2, 2), (4, 2)])
+    def test_conv_transpose1d(self, k, s):
+        pad = (k - s) // 2
+        m = torch.nn.ConvTranspose1d(6, 3, k, stride=s, padding=pad)
+        x = torch.randn(1, 6, 12)
+        ref = to_np(m(x)).transpose(0, 2, 1)
+        p = {"w": to_np(m.weight).transpose(2, 0, 1), "b": to_np(m.bias)}
+        out = np.asarray(conv_transpose1d(
+            jax.tree.map(jnp.asarray, p), jnp.asarray(to_np(x).transpose(0, 2, 1)),
+            stride=s, padding=pad))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_weight_norm_fusion_conv(self):
+        m = torch.nn.utils.weight_norm(torch.nn.Conv1d(4, 8, 5, padding=2))
+        x = torch.randn(1, 4, 10)
+        ref = to_np(m(x)).transpose(0, 2, 1)
+        sd = {k: to_np(v) for k, v in m.state_dict().items()}
+        p = tc._wn_conv({"c.weight_g": sd["weight_g"], "c.weight_v": sd["weight_v"],
+                         "c.bias": sd["bias"]}, "c")
+        out = np.asarray(conv1d(jax.tree.map(jnp.asarray, p),
+                                jnp.asarray(to_np(x).transpose(0, 2, 1)), padding=2))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_weight_norm_fusion_conv_transpose(self):
+        m = torch.nn.utils.weight_norm(torch.nn.ConvTranspose1d(6, 3, 16, stride=8, padding=4))
+        x = torch.randn(1, 6, 9)
+        ref = to_np(m(x)).transpose(0, 2, 1)
+        sd = {k: to_np(v) for k, v in m.state_dict().items()}
+        p = tc._wn_conv({"c.weight_g": sd["weight_g"], "c.weight_v": sd["weight_v"],
+                         "c.bias": sd["bias"]}, "c", transpose_conv=True)
+        out = np.asarray(conv_transpose1d(jax.tree.map(jnp.asarray, p),
+                                          jnp.asarray(to_np(x).transpose(0, 2, 1)),
+                                          stride=8, padding=4))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_t2s_transformer_layer_parity(self):
+        """Post-LN torch TransformerEncoderLayer == our _layer_prefill."""
+        from genie_tts_tpu.models.t2s import _layer_prefill
+
+        D, H = 16, 4
+        m = torch.nn.TransformerEncoderLayer(
+            D, H, dim_feedforward=32, dropout=0.0, batch_first=True,
+            norm_first=False)
+        m.eval()
+        x = torch.randn(2, 6, D)
+        with torch.no_grad():
+            ref = to_np(m(x))
+        sd = {k: to_np(v) for k, v in m.state_dict().items()}
+        lp = {
+            "qkv": {"w": sd["self_attn.in_proj_weight"].T, "b": sd["self_attn.in_proj_bias"]},
+            "out": {"w": sd["self_attn.out_proj.weight"].T, "b": sd["self_attn.out_proj.bias"]},
+            "ffn1": {"w": sd["linear1.weight"].T, "b": sd["linear1.bias"]},
+            "ffn2": {"w": sd["linear2.weight"].T, "b": sd["linear2.bias"]},
+            "norm1": {"scale": sd["norm1.weight"], "bias": sd["norm1.bias"]},
+            "norm2": {"scale": sd["norm2.weight"], "bias": sd["norm2.bias"]},
+        }
+        lp = jax.tree.map(jnp.asarray, lp)
+        mask = jnp.ones((2, 1, 6, 6), bool)
+        out, _ = _layer_prefill(lp, jnp.asarray(to_np(x)), mask, H)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+class TestCheckpointIO:
+    def test_flatten_unflatten_roundtrip(self):
+        tree = {"a": {"b": np.ones((2, 2))}, "ups": [{"w": np.zeros(3)}, {"w": np.ones(3)}]}
+        flat = flatten_tree(tree)
+        assert set(flat) == {"a/b", "ups/0/w", "ups/1/w"}
+        rec = unflatten_tree(flat)
+        assert isinstance(rec["ups"], list)
+        np.testing.assert_array_equal(rec["ups"][1]["w"], np.ones(3))
+
+    def test_save_load_dtypes(self, tmp_path):
+        tree = {"layer": {"w": np.random.randn(4, 4).astype(np.float32),
+                          "scale": np.ones(4, np.float32)},
+                "codebook": np.random.randn(8, 4).astype(np.float32)}
+        save_params(tree, tmp_path / "x.safetensors")
+        back = load_params(tmp_path / "x.safetensors")
+        assert back["layer"]["w"].dtype == jnp.bfloat16
+        assert back["layer"]["scale"].dtype == jnp.float32   # norm scale stays fp32
+        assert back["codebook"].dtype == jnp.float32          # codebook exact
+        np.testing.assert_allclose(np.asarray(back["codebook"]),
+                                   tree["codebook"], atol=1e-6)
+
+
+def _rand_sd(shapes):
+    g = torch.Generator().manual_seed(0)
+    return {k: torch.randn(*v, generator=g).numpy() for k, v in shapes.items()}
+
+
+class TestFullConversion:
+    def test_t2s_schema_matches_model(self):
+        from genie_tts_tpu.models import t2s as t2s_model
+
+        cfg = T2SConfig(num_layers=2)
+        shapes = {
+            "model.ar_text_embedding.word_embeddings.weight": (732, 512),
+            "model.ar_audio_embedding.word_embeddings.weight": (1025, 512),
+            "model.ar_text_position.alpha": (1,),
+            "model.ar_audio_position.alpha": (1,),
+            "model.bert_proj.weight": (512, 1024), "model.bert_proj.bias": (512,),
+            "model.ar_predict_layer.weight": (1025, 512),
+        }
+        for i in range(2):
+            p = f"model.h.layers.{i}"
+            shapes.update({
+                f"{p}.self_attn.in_proj_weight": (1536, 512),
+                f"{p}.self_attn.in_proj_bias": (1536,),
+                f"{p}.self_attn.out_proj.weight": (512, 512),
+                f"{p}.self_attn.out_proj.bias": (512,),
+                f"{p}.linear1.weight": (2048, 512), f"{p}.linear1.bias": (2048,),
+                f"{p}.linear2.weight": (512, 2048), f"{p}.linear2.bias": (512,),
+                f"{p}.norm1.weight": (512,), f"{p}.norm1.bias": (512,),
+                f"{p}.norm2.weight": (512,), f"{p}.norm2.bias": (512,),
+            })
+        pth_shapes = {
+            "vq_model.ssl_proj.weight": (768, 768, 2), "vq_model.ssl_proj.bias": (768,),
+            "vq_model.quantizer.vq.layers.0._codebook.embed": (1024, 768),
+        }
+        params = tc.convert_t2s(_rand_sd(shapes), _rand_sd(pth_shapes), cfg)
+        params = jax.tree.map(jnp.asarray, params)
+        # run a forward pass to validate all shapes wire up
+        ids = jnp.zeros((1, 4), jnp.int32)
+        bert = jnp.zeros((1, 4, 1024))
+        x = t2s_model.embed_text(params, ids, bert)
+        logits, _ = t2s_model.prefill(params, cfg, x, jnp.array([4]),
+                                      jnp.zeros((1, 3), jnp.int32), jnp.array([3]),
+                                      cache_len=16)
+        assert logits.shape == (1, 1025)
+        toks = t2s_model.extract_prompt_tokens(params, jnp.zeros((1, 6, 768)))
+        assert toks.shape == (1, 3)
