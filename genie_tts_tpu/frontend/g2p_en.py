@@ -1,0 +1,174 @@
+"""English grapheme-to-phoneme conversion (ARPAbet, stress-marked).
+
+Capability parity with the reference's English pipeline
+(``/root/reference/src/genie_tts/G2P/English/EnglishG2P.py``): text
+normalization -> per-word pronunciation via (1) a CMU-style dictionary
+loaded from the GenieData assets when present, (2) possessive/suffix
+fallbacks, (3) a self-contained rule-based letter-to-sound transducer for
+out-of-vocabulary words (standing in for the reference's NumPy GRU
+seq2seq, which depends on a downloadable checkpoint).
+
+Dictionary format accepted: classic ``cmudict.dict`` lines
+(``word  P1 P2 ...``, lowercase or uppercase head, ``(2)`` variants
+ignored).
+"""
+from __future__ import annotations
+
+import logging
+import re
+from functools import lru_cache
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from ..config import english_g2p_dir
+from .normalize_en import normalize_english
+from .symbols import phones_to_ids
+
+logger = logging.getLogger(__name__)
+
+_PUNCT_KEEP = {".", "!", "?", ",", "…", "-"}
+_WORD_RE = re.compile(r"[a-z']+|[.!?,…\-]")
+
+
+# ---------------------------------------------------------------------------
+# Dictionary
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _load_dict() -> Dict[str, List[str]]:
+    d: Dict[str, List[str]] = {}
+    root = english_g2p_dir()
+    for name in ("cmudict.dict", "cmudict.rep", "engdict.rep", "engdict-hot.rep"):
+        p = root / name
+        if not p.exists():
+            continue
+        try:
+            for line in p.read_text(encoding="utf-8", errors="ignore").splitlines():
+                line = line.strip()
+                if not line or line.startswith(";;;"):
+                    continue
+                parts = line.split()
+                word = parts[0].lower()
+                if "(" in word:  # alternate pronunciations: keep the first
+                    continue
+                d[word] = parts[1:]
+        except OSError:
+            continue
+    if d:
+        logger.info("English dictionary loaded: %d entries", len(d))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Rule-based letter-to-sound fallback (context-sensitive rules)
+# ---------------------------------------------------------------------------
+
+# (pattern at current position, phones, advance). Longest match wins;
+# applied left-to-right. A compact ruleset covering common orthography.
+_LTS_RULES = [
+    ("tion", ["SH", "AH0", "N"]), ("sion", ["ZH", "AH0", "N"]),
+    ("ought", ["AO1", "T"]), ("aught", ["AO1", "T"]),
+    ("igh", ["AY1"]), ("eigh", ["EY1"]), ("ough", ["AO1"]),
+    ("tch", ["CH"]), ("dge", ["JH"]), ("sch", ["S", "K"]),
+    ("ck", ["K"]), ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]),
+    ("ph", ["F"]), ("wh", ["W"]), ("gh", ["G"]), ("ng", ["NG"]),
+    ("qu", ["K", "W"]), ("wr", ["R"]), ("kn", ["N"]), ("gn", ["N"]),
+    ("oo", ["UW1"]), ("ee", ["IY1"]), ("ea", ["IY1"]), ("ai", ["EY1"]),
+    ("ay", ["EY1"]), ("oa", ["OW1"]), ("ow", ["OW1"]), ("ou", ["AW1"]),
+    ("oi", ["OY1"]), ("oy", ["OY1"]), ("au", ["AO1"]), ("aw", ["AO1"]),
+    ("ew", ["UW1"]), ("ue", ["UW1"]), ("ie", ["IY1"]), ("ei", ["EY1"]),
+    ("ar", ["AA1", "R"]), ("er", ["ER0"]), ("ir", ["ER1"]),
+    ("or", ["AO1", "R"]), ("ur", ["ER1"]),
+    ("a", ["AE1"]), ("b", ["B"]), ("c", ["K"]), ("d", ["D"]),
+    ("e", ["EH1"]), ("f", ["F"]), ("g", ["G"]), ("h", ["HH"]),
+    ("i", ["IH1"]), ("j", ["JH"]), ("k", ["K"]), ("l", ["L"]),
+    ("m", ["M"]), ("n", ["N"]), ("o", ["AA1"]), ("p", ["P"]),
+    ("q", ["K"]), ("r", ["R"]), ("s", ["S"]), ("t", ["T"]),
+    ("u", ["AH1"]), ("v", ["V"]), ("w", ["W"]), ("x", ["K", "S"]),
+    ("y", ["IY0"]), ("z", ["Z"]), ("'", []),
+]
+_LTS_RULES.sort(key=lambda r: -len(r[0]))
+
+_VOWEL_PHONES = re.compile(r"^(AA|AE|AH|AO|AW|AY|EH|ER|EY|IH|IY|OW|OY|UH|UW)")
+
+
+def _soft_c_g(word: str, i: int, phones: List[str]) -> Optional[List[str]]:
+    nxt = word[i + 1] if i + 1 < len(word) else ""
+    if word[i] == "c" and nxt in "eiy":
+        return ["S"]
+    if word[i] == "g" and nxt in "eiy":
+        return ["JH"]
+    return None
+
+
+def rule_g2p(word: str) -> List[str]:
+    """Rule-based fallback for OOV words."""
+    word = word.lower()
+    phones: List[str] = []
+    i = 0
+    # final silent 'e' (make, time) with magic-e vowel lengthening
+    magic_e = (len(word) >= 3 and word.endswith("e")
+               and word[-2] not in "aeiou" and word[-3] in "aeiou")
+    body = word[:-1] if magic_e else word
+    long_map = {"a": ["EY1"], "e": ["IY1"], "i": ["AY1"], "o": ["OW1"], "u": ["UW1"]}
+    while i < len(body):
+        special = _soft_c_g(body, i, phones)
+        if special is not None:
+            phones.extend(special)
+            i += 1
+            continue
+        for pat, ph in _LTS_RULES:
+            if body.startswith(pat, i):
+                if (magic_e and len(pat) == 1 and pat in long_map
+                        and i == len(body) - 2):
+                    phones.extend(long_map[pat])
+                else:
+                    phones.extend(ph)
+                i += len(pat)
+                break
+        else:
+            i += 1
+    return phones
+
+
+# ---------------------------------------------------------------------------
+# Word lookup with fallbacks
+# ---------------------------------------------------------------------------
+
+def word_to_phones(word: str) -> List[str]:
+    d = _load_dict()
+    w = word.lower()
+    if w in d:
+        return list(d[w])
+    # possessive / plural strip: word's -> word + Z/S
+    if w.endswith("'s") and w[:-2] in d:
+        base = list(d[w[:-2]])
+        tail = "S" if base and base[-1] in {"P", "T", "K", "F", "TH"} else "Z"
+        return base + [tail]
+    if w.endswith("s") and w[:-1] in d:
+        base = list(d[w[:-1]])
+        tail = "S" if base and base[-1] in {"P", "T", "K", "F", "TH"} else "Z"
+        return base + [tail]
+    # hyphen/compound split
+    if "-" in w:
+        out: List[str] = []
+        for part in w.split("-"):
+            if part:
+                out.extend(word_to_phones(part))
+        return out
+    return rule_g2p(w)
+
+
+def english_to_phone_strs(text: str) -> List[str]:
+    text = normalize_english(text.lower())
+    phones: List[str] = []
+    for tok in _WORD_RE.findall(text):
+        if tok in _PUNCT_KEEP:
+            phones.append(tok)
+        elif tok.strip("'"):
+            phones.extend(word_to_phones(tok.strip("'")))
+    return phones
+
+
+def english_to_phones(text: str) -> List[int]:
+    return phones_to_ids(english_to_phone_strs(text))
