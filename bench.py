@@ -63,35 +63,9 @@ def main():
     def synth(text, seed):
         phones = np.asarray(japanese_to_phones(text), np.int32)
         bert = np.zeros((len(phones), tcfg.bert_dim), np.float32)
-        all_phones = np.concatenate([ref.phones, phones]).astype(np.int32)
-        all_bert = np.concatenate([ref.bert, bert]).astype(np.float32)
-        x_len = len(all_phones)
-        x_bucket = pick_bucket(x_len, cfg.phoneme_buckets)
-        p_len = len(ref.prompt_tokens)
-        p_bucket = pick_bucket(p_len, cfg.prompt_buckets)
-        key = jax.random.PRNGKey(seed)
-        kg, ks = jax.random.split(key)
-        x = engine._embed_text(
-            char.t2s_params,
-            jnp.asarray(pad_to(all_phones, x_bucket))[None],
-            jnp.asarray(pad_to(all_bert, x_bucket, axis=0))[None])
-        res = engine._generate(
-            char.t2s_params, tcfg, scfg, kg, x, jnp.array([x_len]),
-            jnp.asarray(pad_to(ref.prompt_tokens.astype(np.int32), p_bucket))[None],
-            jnp.array([p_len]),
-            max_steps=DECODE_STEPS, cache_len=x_bucket + p_bucket + DECODE_STEPS,
-            min_steps=DECODE_STEPS)
-        codes = t2s.finalize_semantic_tokens(res.tokens, res.counts, tcfg.eos_id)[0]
-        c_bucket = pick_bucket(len(codes), cfg.frame_buckets)
-        t_bucket = pick_bucket(len(phones), cfg.phoneme_buckets)
-        audio = engine._synthesize(
-            char.sovits_params, vcfg, ks,
-            jnp.asarray(pad_to(codes.astype(np.int32), c_bucket))[None],
-            jnp.array([len(codes)]),
-            jnp.asarray(pad_to(phones, t_bucket))[None],
-            jnp.array([len(phones)]),
-            jnp.asarray(ref.ge)[None], jnp.asarray(ref.ge_mrte)[None], 0.5)
-        return np.asarray(audio[0, : 2 * len(codes) * vcfg.hop_length])
+        return engine.synthesize_utterance(
+            char, ref, phones, bert, sampling=scfg, seed=seed,
+            fixed_steps=DECODE_STEPS)
 
     # warmup / compile all buckets
     t0 = time.perf_counter()

@@ -124,7 +124,7 @@ class RuntimeConfig:
     phoneme_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     prompt_buckets: Tuple[int, ...] = (128, 256, 512)
     kv_cache_len: int = 1024          # prompt (<=500) + decode (<=500) headroom
-    frame_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    frame_buckets: Tuple[int, ...] = (64, 128, 256, 512)
     decode_block: int = 16            # while_loop unroll block for EOS checks
     # Mesh
     dp_axis: str = "dp"

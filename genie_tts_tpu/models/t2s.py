@@ -31,7 +31,7 @@ plus causally to audio — the GPT-SoVITS mask.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -314,7 +314,9 @@ def generate(
         )                                                      # [B, V]
 
         key, kstep = jax.random.split(key)
-        nxt = sample_token(kstep, logits, hist, scfg)
+        # below min_steps EOS is masked out of sampling entirely
+        step_forbid = forbid_eos & (step < min_steps)
+        nxt = sample_token(kstep, logits, hist, scfg, forbid=step_forbid)
         argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
         now_done = (argmax_eos | (nxt == cfg.eos_id)) & (step >= min_steps)
 
@@ -331,6 +333,53 @@ def generate(
         cond, body, (jnp.int32(1), done0, tokens, counts0, hist0, k_cache, v_cache, key)
     )
     return GenerateResult(tokens=tokens, counts=counts, steps=step)
+
+
+def finalize_tokens_device(tokens: jnp.ndarray, counts: jnp.ndarray,
+                           eos_id: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device equivalent of :func:`finalize_semantic_tokens`.
+
+    Returns (codes [B, max_steps] zero-padded, codes_len [B]). Keeping this
+    inside the decode jit removes the mid-pipeline host round trip (the
+    dominant latency on tunneled TPU hosts).
+    """
+    B, S = tokens.shape
+    pos = jnp.arange(S)[None, :]
+    in_range = pos < counts[:, None]
+    # reference quirk: the final emitted token becomes semantic code 0
+    tokens = jnp.where(pos == counts[:, None] - 1, 0, tokens)
+    # trim at the first remaining token >= eos
+    bad = (tokens >= eos_id) & in_range
+    first_bad = jnp.min(jnp.where(bad, pos, S), axis=1)
+    codes_len = jnp.minimum(counts, first_bad)
+    codes = jnp.where(pos < codes_len[:, None], tokens, 0)
+    return codes, codes_len
+
+
+def generate_e2e(
+    params: Params,
+    cfg: T2SConfig,
+    scfg: SamplingConfig,
+    key: jax.Array,
+    phones: jnp.ndarray,      # [B, Sx] packed [ref_text | text] ids
+    bert: Optional[jnp.ndarray],  # [B, Sx, bert_dim] or None (all-zero BERT)
+    x_len: jnp.ndarray,
+    prompts: jnp.ndarray,
+    p_len: jnp.ndarray,
+    max_steps: int,
+    cache_len: int,
+    min_steps: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-dispatch T2S: embed + prefill + AR decode + EOS finalize.
+
+    Returns (codes [B, max_steps], codes_len [B]) ready for the vocoder.
+    """
+    if bert is None:
+        bert = jnp.zeros(phones.shape + (cfg.bert_dim,), jnp.float32)
+    x = embed_text(params, phones, bert)
+    res = generate(params, cfg, scfg, key, x, x_len, prompts, p_len,
+                   max_steps=max_steps, cache_len=cache_len, min_steps=min_steps)
+    return finalize_tokens_device(res.tokens, res.counts, cfg.eos_id)
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ from ..config import RuntimeConfig, SoVITSConfig, T2SConfig
 from ..models import sovits, t2s
 from ..ops.audio import linear_spectrogram
 from ..ops.sampling import SamplingConfig
+from ..utils.metrics import metrics
 from .buckets import pad_to, pick_bucket
 
 logger = logging.getLogger(__name__)
@@ -55,6 +56,21 @@ class ReferenceFeatures:
     prompt_tokens: np.ndarray       # [Tp] int32 semantic VQ tokens
     ge: np.ndarray                  # [gin, 1] speaker embedding (flow/dec)
     ge_mrte: np.ndarray             # [512, 1] speaker embedding (MRTE)
+    _ge_dev: Optional[jnp.ndarray] = None
+    _ge_mrte_dev: Optional[jnp.ndarray] = None
+
+    @property
+    def ge_dev(self) -> jnp.ndarray:
+        """Device-resident [1, gin, 1] (uploaded once, reused per utterance)."""
+        if self._ge_dev is None:
+            self._ge_dev = jnp.asarray(self.ge)[None]
+        return self._ge_dev
+
+    @property
+    def ge_mrte_dev(self) -> jnp.ndarray:
+        if self._ge_mrte_dev is None:
+            self._ge_mrte_dev = jnp.asarray(self.ge_mrte)[None]
+        return self._ge_mrte_dev
 
 
 class TTSEngine:
@@ -70,12 +86,20 @@ class TTSEngine:
             t2s.generate,
             static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps"),
         )
+        self._generate_e2e = jax.jit(
+            t2s.generate_e2e,
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps"),
+        )
         self._embed_text = jax.jit(t2s.embed_text)
         self._extract_prompt = jax.jit(t2s.extract_prompt_tokens)
         self._synthesize = jax.jit(
             sovits.synthesize, static_argnames=("cfg",))
         self._ref_embed = jax.jit(
             sovits.reference_embedding, static_argnames=("cfg",))
+        # device-side codes re-bucketing (static output length)
+        self._slice_codes = jax.jit(
+            lambda codes, n: jax.lax.slice_in_dim(codes, 0, n, axis=1),
+            static_argnames=("n",))
 
     # -- reference feature extraction ------------------------------------
 
@@ -107,56 +131,149 @@ class TTSEngine:
         sampling: Optional[SamplingConfig] = None,
         seed: Optional[int] = None,
         noise_scale: float = 0.5,
+        fixed_steps: Optional[int] = None,
     ) -> np.ndarray:
-        """One sentence -> float32 waveform [S] at 32 kHz."""
+        """One sentence -> float32 waveform [S] at 32 kHz.
+
+        Dispatch discipline (tunneled TPU hosts pay ~20-40 ms per blocking
+        call): the whole T2S stage is ONE jitted call (embed + prefill +
+        decode + EOS finalize on device); the only mid-pipeline host sync
+        is the scalar ``codes_len`` read that picks the vocoder bucket —
+        and even that is skipped when ``fixed_steps`` pins decode length.
+        """
+        with metrics.timer("synthesize_utterance"):
+            audio = self._synthesize_utterance(
+                char, ref, text_phones, text_bert, sampling, seed,
+                noise_scale, fixed_steps)
+        metrics.incr("utterances")
+        metrics.observe("audio_seconds", len(audio) / char.sovits_cfg.sample_rate)
+        return audio
+
+    def _synthesize_utterance(self, char, ref, text_phones, text_bert,
+                              sampling, seed, noise_scale, fixed_steps):
         scfg = sampling or SamplingConfig()
         tcfg = char.t2s_cfg
+        vcfg = char.sovits_cfg
         if seed is None:
             seed = int(self._rng.integers(0, 2 ** 31 - 1))
-        key = jax.random.PRNGKey(seed)
+        k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
 
-        # ---- T2S: pack [ref_text | text] + prompt, bucket, decode
+        # ---- T2S: pack [ref_text | text], single-dispatch generate
         phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
-        bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
         x_len = len(phones)
         x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
         p_len = len(ref.prompt_tokens)
         p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
+        max_steps = fixed_steps or tcfg.max_decode_steps
 
-        x = self._embed_text(
-            char.t2s_params,
-            jnp.asarray(pad_to(phones, x_bucket))[None],
-            jnp.asarray(pad_to(bert, x_bucket, axis=0))[None],
-        )
-        k_gen, k_syn = jax.random.split(key)
-        res = self._generate(
+        if np.any(ref.bert) or np.any(text_bert):
+            bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
+            bert_dev = jnp.asarray(pad_to(bert, x_bucket, axis=0))[None]
+        else:
+            bert_dev = None  # all-zero BERT built on device (JA/EN path)
+
+        codes, codes_len = self._generate_e2e(
             char.t2s_params, tcfg, scfg, k_gen,
-            x, jnp.array([x_len]),
+            jnp.asarray(pad_to(phones, x_bucket))[None], bert_dev,
+            jnp.array([x_len]),
             jnp.asarray(pad_to(ref.prompt_tokens.astype(np.int32), p_bucket))[None],
             jnp.array([p_len]),
-            max_steps=tcfg.max_decode_steps,
-            cache_len=x_bucket + p_bucket + tcfg.max_decode_steps,
+            max_steps=max_steps,
+            cache_len=x_bucket + p_bucket + max_steps,
+            min_steps=fixed_steps or 0,
         )
-        codes = t2s.finalize_semantic_tokens(res.tokens, res.counts, tcfg.eos_id)[0]
-        if len(codes) == 0:
-            logger.warning("T2S produced no semantic tokens; returning silence")
-            return np.zeros(0, np.float32)
 
-        # ---- SoVITS: bucket codes + text, vocode, trim
-        scfg_v = char.sovits_cfg
-        c_bucket = pick_bucket(len(codes), self.cfg.frame_buckets)
+        # ---- SoVITS: bucket codes (device-side slice), vocode, trim
+        if fixed_steps is not None:
+            n_codes = fixed_steps  # no host sync needed
+        else:
+            n_codes = int(codes_len[0])  # scalar readback
+            if n_codes == 0:
+                logger.warning("T2S produced no semantic tokens; returning silence")
+                return np.zeros(0, np.float32)
+        c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
+        codes_b = (self._slice_codes(codes, n=c_bucket) if c_bucket < codes.shape[1]
+                   else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
         t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
         audio = self._synthesize(
-            char.sovits_params, scfg_v, k_syn,
-            jnp.asarray(pad_to(codes.astype(np.int32), c_bucket))[None],
-            jnp.array([len(codes)]),
+            char.sovits_params, vcfg, k_syn,
+            codes_b, codes_len,
             jnp.asarray(pad_to(text_phones.astype(np.int32), t_bucket))[None],
             jnp.array([len(text_phones)]),
-            jnp.asarray(ref.ge)[None], jnp.asarray(ref.ge_mrte)[None],
+            ref.ge_dev, ref.ge_mrte_dev,
             noise_scale,
         )
-        n_samples = 2 * len(codes) * scfg_v.hop_length
+        if fixed_steps is not None:
+            n_codes = int(codes_len[0])  # sync here, overlapped with vocode
+        n_samples = 2 * n_codes * vcfg.hop_length
         return np.asarray(audio[0, :n_samples], dtype=np.float32)
+
+    def synthesize_batch(
+        self,
+        char: CharacterModel,
+        items: "list[tuple[ReferenceFeatures, np.ndarray, np.ndarray]]",
+        sampling: Optional[SamplingConfig] = None,
+        seed: Optional[int] = None,
+        noise_scale: float = 0.5,
+    ) -> "list[np.ndarray]":
+        """Batched synthesis for continuous serving.
+
+        ``items``: [(ref_features, text_phones, text_bert)] — heterogeneous
+        lengths batch together via per-row masks (the packed-layout design
+        of models/t2s.py). One T2S dispatch + one vocoder dispatch for the
+        whole batch.
+        """
+        scfg = sampling or SamplingConfig()
+        tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
+        if seed is None:
+            seed = int(self._rng.integers(0, 2 ** 31 - 1))
+        k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
+        B = len(items)
+
+        phones_rows, bert_rows, prompt_rows, text_rows = [], [], [], []
+        any_bert = False
+        for ref, tp, tb in items:
+            phones_rows.append(np.concatenate([ref.phones, tp]).astype(np.int32))
+            bert_rows.append(np.concatenate([ref.bert, tb]).astype(np.float32))
+            prompt_rows.append(ref.prompt_tokens.astype(np.int32))
+            text_rows.append(tp.astype(np.int32))
+            any_bert = any_bert or bool(np.any(ref.bert)) or bool(np.any(tb))
+
+        x_lens = np.array([len(p) for p in phones_rows], np.int32)
+        p_lens = np.array([len(p) for p in prompt_rows], np.int32)
+        t_lens = np.array([len(t) for t in text_rows], np.int32)
+        x_bucket = pick_bucket(int(x_lens.max()), self.cfg.phoneme_buckets)
+        p_bucket = pick_bucket(int(p_lens.max()), self.cfg.prompt_buckets)
+        t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
+        max_steps = tcfg.max_decode_steps
+
+        phones_b = np.stack([pad_to(p, x_bucket) for p in phones_rows])
+        prompts_b = np.stack([pad_to(p, p_bucket) for p in prompt_rows])
+        bert_b = (jnp.asarray(np.stack([pad_to(b, x_bucket, axis=0)
+                                        for b in bert_rows]))
+                  if any_bert else None)
+
+        codes, codes_len = self._generate_e2e(
+            char.t2s_params, tcfg, scfg, k_gen,
+            jnp.asarray(phones_b), bert_b, jnp.asarray(x_lens),
+            jnp.asarray(prompts_b), jnp.asarray(p_lens),
+            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
+        )
+        lens = np.asarray(codes_len)
+        c_bucket = pick_bucket(int(max(lens.max(), 1)), self.cfg.frame_buckets)
+        codes_b = (self._slice_codes(codes, n=c_bucket)
+                   if c_bucket < codes.shape[1]
+                   else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
+        text_b = jnp.asarray(np.stack([pad_to(t, t_bucket) for t in text_rows]))
+        ge_b = jnp.concatenate([ref.ge_dev for ref, _, _ in items], axis=0)
+        gm_b = jnp.concatenate([ref.ge_mrte_dev for ref, _, _ in items], axis=0)
+        audio = self._synthesize(
+            char.sovits_params, vcfg, k_syn, codes_b, codes_len,
+            text_b, jnp.asarray(t_lens), ge_b, gm_b, noise_scale)
+        audio = np.asarray(audio)
+        metrics.incr("utterances", B)
+        return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length].astype(np.float32)
+                for i in range(B)]
 
     def warmup(self, char: CharacterModel, ref: ReferenceFeatures) -> None:
         """Compile the steady-state bucket set ahead of serving."""

@@ -1,0 +1,215 @@
+"""HTTP streaming server — endpoint parity with the reference FastAPI app
+(``/root/reference/src/genie_tts/Server.py:22-169``): POST
+``/load_character``, ``/set_reference_audio``, ``/tts`` (chunked PCM16
+stream), ``/unload_character``, ``/stop``, ``/clear_reference_audio_cache``.
+
+Implemented on the stdlib (ThreadingHTTPServer + chunked transfer
+encoding) so it runs on dependency-light TPU hosts; a FastAPI app factory
+is provided for environments that have FastAPI installed.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
+    """Run a TTS session in this (worker) thread, pushing PCM16 chunks."""
+    from .. import api
+
+    character = payload["character_name"]
+    text = payload["text"]
+    split = bool(payload.get("split_sentence", True))
+    if character not in api._reference_audios:
+        chunk_q.put(RuntimeError("set_reference_audio has not been called"))
+        chunk_q.put(None)
+        return
+    try:
+        synth = api._make_synth_fn(character)
+        api.tts_session.start_session(
+            synth, play=False, split=split,
+            chunk_callback=lambda c: chunk_q.put(c))
+        api.tts_session.feed(text)
+        api.tts_session.end_session()
+        api.tts_session.wait_for_tts_completion()
+    except Exception as e:  # surfaced as HTTP 500 by the handler
+        logger.exception("tts stream failed")
+        chunk_q.put(e)
+        chunk_q.put(None)
+
+
+class GenieHandler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "genie-tts-tpu"
+
+    def log_message(self, fmt, *args):  # route through logging
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    def _json_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length) or b"{}")
+
+    def _reply(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (stdlib API)
+        if self.path == "/metrics":
+            from ..utils.metrics import metrics
+
+            return self._reply(200, metrics.snapshot())
+        if self.path == "/health":
+            return self._reply(200, {"status": "ok"})
+        return self._reply(404, {"detail": f"unknown endpoint {self.path}"})
+
+    def do_POST(self):  # noqa: N802 (stdlib API)
+        from .. import api
+
+        try:
+            payload = self._json_body()
+        except (ValueError, json.JSONDecodeError):
+            return self._reply(400, {"detail": "invalid JSON body"})
+        try:
+            if self.path == "/load_character":
+                api.load_character(payload["character_name"],
+                                   payload["onnx_model_dir"]
+                                   if "onnx_model_dir" in payload
+                                   else payload["model_dir"],
+                                   payload["language"])
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/set_reference_audio":
+                api.set_reference_audio(payload["character_name"],
+                                        payload["audio_path"],
+                                        payload["audio_text"],
+                                        payload.get("language"))
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/unload_character":
+                api.unload_character(payload["character_name"])
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/stop":
+                api.stop()
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/clear_reference_audio_cache":
+                api.clear_reference_audio_cache()
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/tts":
+                return self._handle_tts(payload)
+            return self._reply(404, {"detail": f"unknown endpoint {self.path}"})
+        except (KeyError, ValueError, FileNotFoundError) as e:
+            return self._reply(400, {"detail": str(e)})
+        except Exception as e:
+            logger.exception("request failed")
+            return self._reply(500, {"detail": str(e)})
+
+    def _handle_tts(self, payload: dict) -> None:
+        chunk_q: "queue.Queue" = queue.Queue()
+        worker = threading.Thread(
+            target=_synthesize_stream, args=(payload, chunk_q), daemon=True)
+        worker.start()
+
+        first = chunk_q.get()
+        if isinstance(first, Exception):
+            chunk_q.get()  # consume the trailing None
+            return self._reply(500, {"detail": str(first)})
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def send_chunk(data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        item = first
+        while item is not None:
+            if isinstance(item, Exception):
+                break
+            if item:
+                send_chunk(item)
+            item = chunk_q.get()
+        self.wfile.write(b"0\r\n\r\n")
+
+
+_server: Optional[ThreadingHTTPServer] = None
+
+
+def start_server(host: str = "127.0.0.1", port: int = 8000,
+                 workers: int = 1, block: bool = True) -> ThreadingHTTPServer:
+    """Serve the TTS API. ``workers`` kept for reference-API compatibility
+    (threading model here; scale-out happens via process managers)."""
+    global _server
+    server = ThreadingHTTPServer((host, port), GenieHandler)
+    _server = server
+    logger.info("genie-tts-tpu server listening on %s:%d", host, port)
+    if block:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def stop_server() -> None:
+    global _server
+    if _server is not None:
+        _server.shutdown()
+        _server = None
+
+
+def create_fastapi_app():
+    """FastAPI app with identical endpoints (when FastAPI is installed)."""
+    from fastapi import FastAPI
+    from fastapi.responses import StreamingResponse
+
+    from .. import api
+
+    app = FastAPI(title="genie-tts-tpu")
+
+    @app.post("/load_character")
+    def load_character(payload: dict):
+        api.load_character(payload["character_name"], payload["model_dir"],
+                           payload["language"])
+        return {"status": "ok"}
+
+    @app.post("/set_reference_audio")
+    def set_reference_audio(payload: dict):
+        api.set_reference_audio(payload["character_name"], payload["audio_path"],
+                                payload["audio_text"], payload.get("language"))
+        return {"status": "ok"}
+
+    @app.post("/unload_character")
+    def unload_character(payload: dict):
+        api.unload_character(payload["character_name"])
+        return {"status": "ok"}
+
+    @app.post("/stop")
+    def stop():
+        api.stop()
+        return {"status": "ok"}
+
+    @app.post("/clear_reference_audio_cache")
+    def clear_cache():
+        api.clear_reference_audio_cache()
+        return {"status": "ok"}
+
+    @app.post("/tts")
+    async def tts(payload: dict):
+        gen = api.tts_async(payload["character_name"], payload["text"],
+                            split_sentence=payload.get("split_sentence", True))
+        return StreamingResponse(gen, media_type="audio/wav")
+
+    return app
