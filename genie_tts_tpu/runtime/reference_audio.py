@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import RuntimeConfig
 from ..frontend.dispatcher import get_phones_and_bert
-from ..ops.audio import resample_poly
+from ..utils.native import resample as resample_poly
 from ..utils.lru import LRUCache
 from ..utils.wavio import read_wav
 from .engine import CharacterModel, ReferenceFeatures, TTSEngine

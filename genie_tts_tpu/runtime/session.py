@@ -19,7 +19,8 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from ..frontend.splitter import split_text
-from ..utils.wavio import float_to_pcm16_bytes, write_wav
+from ..utils.native import float_to_pcm16 as float_to_pcm16_bytes
+from ..utils.wavio import write_wav
 
 logger = logging.getLogger(__name__)
 
