@@ -119,9 +119,12 @@ def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = Non
     if char is None:
         raise ValueError(f"Character '{character_name}' is not loaded")
     ref_cfg = _reference_audios[character_name]
+    from .models.sv import get_sv_fn
+
     feats = reference_audio_cache.get_features(
         engine, char, ref_cfg["audio_path"], ref_cfg["audio_text"],
-        ref_cfg["language"], hubert_fn=_hubert_fn())
+        ref_cfg["language"], hubert_fn=_hubert_fn(),
+        sv_fn=get_sv_fn() if char.version == "v2ProPlus" else None)
 
     def synth(sentence: str) -> Optional[np.ndarray]:
         # leading 。 guards against the model swallowing the first phrase

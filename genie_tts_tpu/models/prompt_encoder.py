@@ -69,7 +69,7 @@ def convert_from_torch(sd: Dict) -> Params:
 
 
 def init_params(key: jax.Array, cfg: SoVITSConfig, dtype=jnp.bfloat16,
-                gin: int = 1024) -> Params:
+                gin: int = 1024, mrte_dim: int = 512) -> Params:
     ks = iter(jax.random.split(key, 16))
 
     def dense(k, i, o):
@@ -90,6 +90,6 @@ def init_params(key: jax.Array, cfg: SoVITSConfig, dtype=jnp.bfloat16,
             "fc": dense(next(ks), 128, gin),
         },
         "sv_emb": dense(next(ks), cfg.sv_dim, gin),
-        "ge_to512": dense(next(ks), gin, 512),
+        "ge_to512": dense(next(ks), gin, mrte_dim),
         "prelu_weight": jnp.full((gin,), 0.25, jnp.float32),
     }

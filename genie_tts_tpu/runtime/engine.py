@@ -120,6 +120,27 @@ class TTSEngine:
                              jnp.array([spec.shape[1]]))
         return np.asarray(ge[0])
 
+    def compute_v2pp_speaker_embedding(
+        self, char: CharacterModel, audio_32k: np.ndarray, sv_emb: np.ndarray
+    ) -> "Tuple[np.ndarray, np.ndarray]":
+        """V2ProPlus path: prompt encoder (ref spec + sv_emb) -> (ge, ge_mrte).
+
+        Reference behavior: ``Audio/ReferenceAudio.py:68-76``.
+        """
+        from ..models import prompt_encoder as pe
+
+        cfg = char.sovits_cfg
+        if char.prompt_encoder_params is None:
+            raise RuntimeError(f"character '{char.name}' has no prompt encoder")
+        spec = linear_spectrogram(
+            jnp.asarray(audio_32k)[None], n_fft=cfg.n_fft, hop=cfg.hop_length,
+            win_length=cfg.win_length)
+        apply = jax.jit(pe.apply)
+        ge, ge_adv = apply(char.prompt_encoder_params, spec,
+                           jnp.array([spec.shape[1]]),
+                           jnp.asarray(sv_emb)[None])
+        return np.asarray(ge[0]), np.asarray(ge_adv[0])
+
     # -- synthesis --------------------------------------------------------
 
     def synthesize_utterance(

@@ -83,7 +83,9 @@ class ReferenceAudioCache:
 
     def get_features(self, engine: TTSEngine, char: CharacterModel,
                      audio_path: str, text: str, language: str,
-                     hubert_fn=None) -> ReferenceFeatures:
+                     hubert_fn=None, sv_fn=None) -> ReferenceFeatures:
+        """``sv_fn(audio_16k) -> [20480]`` provides the speaker-verification
+        embedding for V2ProPlus (models/sv.py; injectable in tests)."""
         with self._lock:
             key = (audio_path, char.name)
             feats = self._features.get(key)
@@ -97,16 +99,22 @@ class ReferenceAudioCache:
                     "(see genie_tts_tpu.download_genie_data) first.")
             prompt_tokens = engine.compute_prompt_tokens(char, clip.ssl_content)
             if char.version == "v2ProPlus":
-                raise NotImplementedError(
-                    "V2ProPlus prompt-encoder path lands with "
-                    "models/prompt_encoder.py")
-            ge = engine.compute_v2_speaker_embedding(char, clip.audio_32k)
+                if sv_fn is None:
+                    raise RuntimeError(
+                        "V2ProPlus cloning needs a speaker-verification "
+                        "embedding; install the SV model into GenieData.")
+                sv_emb = np.asarray(sv_fn(clip.audio_16k), np.float32)
+                ge, ge_mrte = engine.compute_v2pp_speaker_embedding(
+                    char, clip.audio_32k, sv_emb)
+            else:
+                ge = engine.compute_v2_speaker_embedding(char, clip.audio_32k)
+                ge_mrte = ge[: char.sovits_cfg.mrte_channels]
             feats = ReferenceFeatures(
                 phones=np.asarray(clip.phones, np.int32),
                 bert=np.asarray(clip.bert, np.float32),
                 prompt_tokens=prompt_tokens,
                 ge=ge,
-                ge_mrte=ge[: char.sovits_cfg.mrte_channels],
+                ge_mrte=ge_mrte,
             )
             self._features.put(key, feats)
             return feats
