@@ -126,6 +126,10 @@ class RuntimeConfig:
     kv_cache_len: int = 1024          # prompt (<=500) + decode (<=500) headroom
     frame_buckets: Tuple[int, ...] = (64, 128, 256, 512)
     decode_block: int = 16            # while_loop unroll block for EOS checks
+    # chunked HiFi-GAN vocoding: bounded memory + streaming TTFA. Halo must
+    # exceed the generator's frame-level receptive field (~14 frames).
+    vocode_chunk: int = 128           # latent frames per chunk (2.56 s audio)
+    vocode_halo: int = 32
     # Mesh
     dp_axis: str = "dp"
     tp_axis: str = "tp"

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SoVITSConfig
-from ..ops.layers import conv1d, conv_transpose1d
+from ..ops.layers import conv1d, conv1d_ncw, conv_transpose1d, conv_transpose1d_ncw
 
 Params = Dict
 
@@ -225,19 +225,24 @@ def flow_reverse(p_stack, x, mask_t, g, cfg: SoVITSConfig):
 # ---------------------------------------------------------------------------
 
 def _resblock(p, x, kernel: int, dilations: Tuple[int, ...], mask_t):
-    """MRF residual block. ``mask_t`` zeroes pad positions after every conv
-    so bucketed (padded) execution is bit-equivalent to exact-length."""
+    """MRF residual block in NCW layout ([B, C, T]). ``mask_t`` ([B, 1, T])
+    zeroes pad positions after every conv so bucketed (padded) execution is
+    bit-equivalent to exact-length."""
     for d, c1, c2 in zip(dilations, p["convs1"], p["convs2"]):
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        h = conv1d(c1, h, padding=(kernel * d - d) // 2, dilation=d) * mask_t
+        h = conv1d_ncw(c1, h, padding=(kernel * d - d) // 2, dilation=d) * mask_t
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
-        h = conv1d(c2, h, padding=(kernel - 1) // 2) * mask_t
+        h = conv1d_ncw(c2, h, padding=(kernel - 1) // 2) * mask_t
         x = x + h
     return x
 
 
 def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
     """z [B,T,192] + ge [B,C_gin,1] -> waveform [B, T*hop].
+
+    Runs internally in NCW layout ([B, C, T]): the upsampled tail stages
+    have few channels and very long T, and TPU (8, 128) tiling in NWC
+    would pad channels 16 -> 128 (8x HBM). NCW keeps T in lanes.
 
     ``frames_len`` [B]: valid latent frames per row; positions beyond are
     masked at every stage so conv biases in the pad region cannot bleed
@@ -248,17 +253,18 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
         frames_len = jnp.full((x.shape[0],), T, jnp.int32)
 
     def make_mask(length_scale):
-        return (jnp.arange(T * length_scale)[None, :]
-                < frames_len[:, None] * length_scale).astype(x.dtype)[..., None]
+        return (jnp.arange(T * length_scale)[None, None, :]
+                < frames_len[:, None, None] * length_scale).astype(x.dtype)
 
+    x = x.transpose(0, 2, 1)                       # [B, 192, T]
     mask = make_mask(1)
-    x = conv1d(p["conv_pre"], x, padding=3)
-    x = (x + conv1d(p["cond"], ge.transpose(0, 2, 1).astype(x.dtype))) * mask
+    x = conv1d_ncw(p["conv_pre"], x, padding=3)
+    x = (x + conv1d_ncw(p["cond"], ge.astype(x.dtype))) * mask
     n_k = len(cfg.resblock_kernels)
     scale = 1
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        x = conv_transpose1d(p["ups"][i], x, stride=u, padding=(k - u) // 2)
+        x = conv_transpose1d_ncw(p["ups"][i], x, stride=u, padding=(k - u) // 2)
         scale *= u
         mask = make_mask(scale)
         x = x * mask
@@ -269,8 +275,8 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
             acc = r if acc is None else acc + r
         x = acc / n_k
     x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-    x = conv1d(p["conv_post"], x, padding=3) * mask
-    return jnp.tanh(x.astype(jnp.float32))[..., 0]
+    x = conv1d_ncw(p["conv_post"], x, padding=3) * mask
+    return jnp.tanh(x.astype(jnp.float32))[:, 0, :]
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +342,7 @@ def text_encode(params, cfg: SoVITSConfig, ssl_latent, y_mask_t, text_ids, text_
     return m, logs
 
 
-def synthesize(
+def synthesize_latent(
     params: Params,
     cfg: SoVITSConfig,
     key: jax.Array,
@@ -348,8 +354,13 @@ def synthesize(
     ge_mrte: jnp.ndarray,      # [B, 512, 1] speaker cond for MRTE
     noise_scale: float = 0.5,
 ) -> jnp.ndarray:
-    """Full SoVITS decode -> waveform [B, 2*Ts*hop]. Frames beyond
-    codes_len produce garbage; callers trim to 2*codes_len*hop samples."""
+    """Codes -> pre-vocoder latent z [B, 2*Ts, 192] (masked).
+
+    The latent stage (enc_p attention + flow) is global over the utterance;
+    the HiFi-GAN generator is translation-local (finite receptive field)
+    and can be applied to halo-padded chunks of z for streaming synthesis
+    and bounded memory (:func:`vocode_frames`).
+    """
     latent = quantizer_decode(params, codes)              # [B, T50, 768]
     B, T50, _ = latent.shape
     y_mask_t = (jnp.arange(T50)[None, :] < 2 * codes_len[:, None]).astype(latent.dtype)[..., None]
@@ -359,7 +370,32 @@ def synthesize(
     noise = jax.random.normal(key, m.shape, dtype=jnp.float32)
     z_p = (m.astype(jnp.float32) + noise * jnp.exp(logs.astype(jnp.float32)) * noise_scale).astype(latent.dtype)
     z = flow_reverse(params["flow"], z_p * y_mask_t, y_mask_t, ge, cfg)
-    return hifigan(params["dec"], z * y_mask_t, ge, cfg, frames_len=2 * codes_len)
+    return z * y_mask_t
+
+
+def vocode_frames(params: Params, cfg: SoVITSConfig, z: jnp.ndarray,
+                  ge: jnp.ndarray, frames_valid: jnp.ndarray) -> jnp.ndarray:
+    """HiFi-GAN over a latent window. z [B, Tc, 192] -> [B, Tc*hop]."""
+    return hifigan(params["dec"], z, ge, cfg, frames_len=frames_valid)
+
+
+def synthesize(
+    params: Params,
+    cfg: SoVITSConfig,
+    key: jax.Array,
+    codes: jnp.ndarray,
+    codes_len: jnp.ndarray,
+    text_ids: jnp.ndarray,
+    text_len: jnp.ndarray,
+    ge: jnp.ndarray,
+    ge_mrte: jnp.ndarray,
+    noise_scale: float = 0.5,
+) -> jnp.ndarray:
+    """Full SoVITS decode -> waveform [B, 2*Ts*hop]. Frames beyond
+    codes_len produce garbage; callers trim to 2*codes_len*hop samples."""
+    z = synthesize_latent(params, cfg, key, codes, codes_len, text_ids,
+                          text_len, ge, ge_mrte, noise_scale)
+    return hifigan(params["dec"], z, ge, cfg, frames_len=2 * codes_len)
 
 
 def reference_embedding(params, cfg: SoVITSConfig, spec: jnp.ndarray, spec_len: jnp.ndarray):

@@ -157,7 +157,8 @@ def _layer_prefill(lp: Params, h: jnp.ndarray, mask: jnp.ndarray, num_heads: int
     return h, (k, v)
 
 
-def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask, num_heads: int):
+def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask,
+                  num_heads: int, use_flash: bool = False):
     """One-token decode layer. h: [B,1,D]; caches [B,H,S,Dh]; pos: [B]."""
     qkv = linear(lp["qkv"], h)
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -167,7 +168,12 @@ def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask, nu
     b_idx = jnp.arange(h.shape[0])
     k_cache = k_cache.at[b_idx, :, pos].set(k_new)
     v_cache = v_cache.at[b_idx, :, pos].set(v_new)
-    att = attention(q, k_cache, v_cache, kv_mask[:, None, None, :])
+    if use_flash:
+        from ..ops.flash_decode import flash_decode_attention
+
+        att = flash_decode_attention(q[:, :, 0], k_cache, v_cache, kv_mask)[:, :, None]
+    else:
+        att = attention(q, k_cache, v_cache, kv_mask[:, None, None, :])
     h = layer_norm(lp["norm1"], h + linear(lp["out"], _merge_heads(att)))
     ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
     h = layer_norm(lp["norm2"], h + ff)
@@ -252,11 +258,14 @@ def generate(
     max_steps: int,
     cache_len: int,
     min_steps: int = 0,
+    use_flash: bool = False,
 ) -> GenerateResult:
     """Prefill + sample + full AR decode in one XLA program.
 
     ``min_steps``: EOS may not fire before this many tokens (0 = reference
-    behavior; also used to pin decode length in benchmarks)."""
+    behavior; also used to pin decode length in benchmarks).
+    ``use_flash``: route decode attention through the Pallas kernel
+    (ops/flash_decode.py; TPU only)."""
     B, Sx, D = x.shape
     Sp = prompts.shape[1]
     H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
@@ -305,7 +314,8 @@ def generate(
 
         def layer_body(h, inputs):
             lp, kc, vc = inputs
-            h, kc, vc = _layer_decode(lp, h, kc, vc, pos_b, kv_mask, H)
+            h, kc, vc = _layer_decode(lp, h, kc, vc, pos_b, kv_mask, H,
+                                      use_flash=use_flash)
             return h, (kc, vc)
 
         h, (k_cache, v_cache) = jax.lax.scan(layer_body, h, (params["layers"], k_cache, v_cache))
@@ -369,6 +379,7 @@ def generate_e2e(
     max_steps: int,
     cache_len: int,
     min_steps: int = 0,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-dispatch T2S: embed + prefill + AR decode + EOS finalize.
 
@@ -378,7 +389,8 @@ def generate_e2e(
         bert = jnp.zeros(phones.shape + (cfg.bert_dim,), jnp.float32)
     x = embed_text(params, phones, bert)
     res = generate(params, cfg, scfg, key, x, x_len, prompts, p_len,
-                   max_steps=max_steps, cache_len=cache_len, min_steps=min_steps)
+                   max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
+                   use_flash=use_flash)
     return finalize_tokens_device(res.tokens, res.counts, cfg.eos_id)
 
 

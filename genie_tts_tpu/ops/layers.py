@@ -81,6 +81,59 @@ def conv_transpose1d(params, x: jnp.ndarray, stride: int, padding: int = 0) -> j
     return y
 
 
+def conv1d_ncw(
+    params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """1D conv in channel-major layout: [B, C_in, T] -> [B, C_out, T'].
+
+    TPU tiling pads the last two dims to (8, 128); for long-waveform /
+    few-channel tensors (HiFi-GAN tails: C = 32/16/1, T = 10^5..10^6) the
+    NWC layout pads channels 16->128 (8x HBM waste). NCW keeps T in lanes
+    and C in sublanes, where small C pads at most to 8.
+
+    Weight layout matches :func:`conv1d` ([width, in/groups, out]).
+    """
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCW", "WIO", "NCW"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if "b" in params:
+        y = y + params["b"][None, :, None]
+    return y
+
+
+def conv_transpose1d_ncw(params, x: jnp.ndarray, stride: int, padding: int = 0) -> jnp.ndarray:
+    """Transposed 1D conv in NCW layout (torch ConvTranspose1d semantics).
+
+    ``x``: [B, C_in, T] -> [B, C_out, (T-1)*stride + width - 2*padding].
+    """
+    w = params["w"].astype(x.dtype)
+    width = w.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, 0),
+        window_strides=(1,),
+        padding=[(width - 1 - padding, width - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCW", "WIO", "NCW"),
+        preferred_element_type=x.dtype,
+    )
+    if "b" in params:
+        y = y + params["b"][None, :, None]
+    return y
+
+
 def sine_position_table(max_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """Standard sinusoidal position table [max_len, dim]."""
     pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]

@@ -58,6 +58,7 @@ class ReferenceFeatures:
     ge_mrte: np.ndarray             # [512, 1] speaker embedding (MRTE)
     _ge_dev: Optional[jnp.ndarray] = None
     _ge_mrte_dev: Optional[jnp.ndarray] = None
+    _prompts_dev: Optional[Dict] = None
 
     @property
     def ge_dev(self) -> jnp.ndarray:
@@ -72,6 +73,34 @@ class ReferenceFeatures:
             self._ge_mrte_dev = jnp.asarray(self.ge_mrte)[None]
         return self._ge_mrte_dev
 
+    def prompts_dev(self, bucket: int) -> jnp.ndarray:
+        """Device-resident [1, bucket] padded prompt tokens, cached per
+        bucket (prompt tokens never change for a reference clip)."""
+        if self._prompts_dev is None:
+            self._prompts_dev = {}
+        if bucket not in self._prompts_dev:
+            self._prompts_dev[bucket] = jnp.asarray(
+                pad_to(self.prompt_tokens.astype(np.int32), bucket))[None]
+        return self._prompts_dev[bucket]
+
+
+def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
+                    phones, bert, x_len, prompts, p_len, text, t_len,
+                    ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps):
+    """Whole utterance in one XLA program: T2S decode + SoVITS vocode.
+
+    Used when decode length is pinned (benchmarks, short utterances): the
+    vocoder bucket equals ``max_steps`` so no host sync is needed anywhere.
+    """
+    kg, ks = jax.random.split(key)
+    codes, codes_len = t2s.generate_e2e(
+        t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
+        max_steps=max_steps, cache_len=cache_len, min_steps=min_steps)
+    audio = sovits.synthesize(
+        sovits_params, vcfg, ks, codes, codes_len, text, t_len,
+        ge, ge_mrte, noise_scale)
+    return audio, codes_len
+
 
 class TTSEngine:
     """Stateless-compute engine; all mutable state is the jit cache."""
@@ -84,18 +113,26 @@ class TTSEngine:
         # new bucket shapes)
         self._generate = jax.jit(
             t2s.generate,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash"),
         )
         self._generate_e2e = jax.jit(
             t2s.generate_e2e,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash"),
         )
         self._embed_text = jax.jit(t2s.embed_text)
         self._extract_prompt = jax.jit(t2s.extract_prompt_tokens)
         self._synthesize = jax.jit(
             sovits.synthesize, static_argnames=("cfg",))
+        self._latent = jax.jit(
+            sovits.synthesize_latent, static_argnames=("cfg",))
+        self._vocode = jax.jit(
+            sovits.vocode_frames, static_argnames=("cfg",))
         self._ref_embed = jax.jit(
             sovits.reference_embedding, static_argnames=("cfg",))
+        self._fused = jax.jit(
+            _t2s_and_vocode,
+            static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
+                             "min_steps"))
         # device-side codes re-bucketing (static output length)
         self._slice_codes = jax.jit(
             lambda codes, n: jax.lax.slice_in_dim(codes, 0, n, axis=1),
@@ -189,16 +226,39 @@ class TTSEngine:
 
         if np.any(ref.bert) or np.any(text_bert):
             bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
-            bert_dev = jnp.asarray(pad_to(bert, x_bucket, axis=0))[None]
+            bert_dev = pad_to(bert, x_bucket, axis=0)[None]
         else:
             bert_dev = None  # all-zero BERT built on device (JA/EN path)
 
+        if fixed_steps is not None:
+            # single-dispatch fast path: T2S + vocoder in one XLA program
+            t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
+            audio, codes_len = self._fused(
+                char.t2s_params, char.sovits_params,
+                tcfg=tcfg, vcfg=vcfg, scfg=scfg,
+                key=jax.random.PRNGKey(seed),
+                phones=pad_to(phones, x_bucket)[None], bert=bert_dev,
+                x_len=np.array([x_len], np.int32),
+                prompts=ref.prompts_dev(p_bucket),
+                p_len=np.array([p_len], np.int32),
+                text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
+                t_len=np.array([len(text_phones)], np.int32),
+                ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev,
+                noise_scale=noise_scale,
+                max_steps=max_steps,
+                cache_len=x_bucket + p_bucket + max_steps,
+                min_steps=fixed_steps)
+            n_codes = int(codes_len[0])
+            return np.asarray(
+                audio[0, : 2 * n_codes * vcfg.hop_length], dtype=np.float32)
+
+        # numpy args ride the dispatch itself — no separate device_put RPCs
         codes, codes_len = self._generate_e2e(
             char.t2s_params, tcfg, scfg, k_gen,
-            jnp.asarray(pad_to(phones, x_bucket))[None], bert_dev,
-            jnp.array([x_len]),
-            jnp.asarray(pad_to(ref.prompt_tokens.astype(np.int32), p_bucket))[None],
-            jnp.array([p_len]),
+            pad_to(phones, x_bucket)[None], bert_dev,
+            np.array([x_len], np.int32),
+            ref.prompts_dev(p_bucket),
+            np.array([p_len], np.int32),
             max_steps=max_steps,
             cache_len=x_bucket + p_bucket + max_steps,
             min_steps=fixed_steps or 0,
@@ -216,18 +276,45 @@ class TTSEngine:
         codes_b = (self._slice_codes(codes, n=c_bucket) if c_bucket < codes.shape[1]
                    else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
         t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
-        audio = self._synthesize(
+        z = self._latent(
             char.sovits_params, vcfg, k_syn,
             codes_b, codes_len,
-            jnp.asarray(pad_to(text_phones.astype(np.int32), t_bucket))[None],
-            jnp.array([len(text_phones)]),
+            pad_to(text_phones.astype(np.int32), t_bucket)[None],
+            np.array([len(text_phones)], np.int32),
             ref.ge_dev, ref.ge_mrte_dev,
             noise_scale,
         )
+        audio = self._vocode_audio(char, z, ref.ge_dev, codes_len)
         if fixed_steps is not None:
             n_codes = int(codes_len[0])  # sync here, overlapped with vocode
         n_samples = 2 * n_codes * vcfg.hop_length
-        return np.asarray(audio[0, :n_samples], dtype=np.float32)
+        return audio[0, :n_samples].astype(np.float32)
+
+    def _vocode_audio(self, char: CharacterModel, z, ge, codes_len) -> np.ndarray:
+        """Chunked HiFi-GAN over the latent: bounded memory, streaming-ready.
+
+        z [B, F, 192] -> waveform [B, F*hop] (np). Chunks are dispatched
+        back-to-back (async) and assembled on host with halo discard.
+        """
+        vcfg = char.sovits_cfg
+        B, F, _ = z.shape
+        hop = vcfg.hop_length
+        chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+        frames_valid = 2 * codes_len                      # device [B]
+        if F <= chunk + 2 * halo:
+            a = self._vocode(char.sovits_params, vcfg, z, ge, frames_valid)
+            return np.asarray(a)
+        pieces = []
+        for start in range(0, F, chunk):
+            s0 = max(start - halo, 0)
+            s1 = min(start + chunk + halo, F)
+            zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
+            valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
+            a = self._vocode(char.sovits_params, vcfg, zc, ge, valid)
+            off = (start - s0) * hop
+            n = min(chunk, F - start) * hop
+            pieces.append(a[:, off: off + n])
+        return np.concatenate([np.asarray(p) for p in pieces], axis=1)
 
     def synthesize_batch(
         self,
@@ -285,13 +372,13 @@ class TTSEngine:
         codes_b = (self._slice_codes(codes, n=c_bucket)
                    if c_bucket < codes.shape[1]
                    else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
-        text_b = jnp.asarray(np.stack([pad_to(t, t_bucket) for t in text_rows]))
+        text_b = np.stack([pad_to(t, t_bucket) for t in text_rows])
         ge_b = jnp.concatenate([ref.ge_dev for ref, _, _ in items], axis=0)
         gm_b = jnp.concatenate([ref.ge_mrte_dev for ref, _, _ in items], axis=0)
-        audio = self._synthesize(
+        z = self._latent(
             char.sovits_params, vcfg, k_syn, codes_b, codes_len,
-            text_b, jnp.asarray(t_lens), ge_b, gm_b, noise_scale)
-        audio = np.asarray(audio)
+            text_b, t_lens, ge_b, gm_b, noise_scale)
+        audio = self._vocode_audio(char, z, ge_b, codes_len)
         metrics.incr("utterances", B)
         return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length].astype(np.float32)
                 for i in range(B)]
@@ -318,10 +405,14 @@ def make_random_character(
     tcfg = t2s_cfg or T2SConfig()
     vcfg = sovits_cfg or SoVITSConfig()
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    # jit the initializers: one dispatch for the whole tree instead of one
+    # per leaf (the per-op tunnel latency makes eager init minutes-slow)
+    t2s_init = jax.jit(t2s.init_params, static_argnames=("cfg", "dtype"))
+    sovits_init = jax.jit(sovits.init_params, static_argnames=("cfg", "dtype"))
     return CharacterModel(
         name=name, language=language, version=vcfg.version,
-        t2s_params=t2s.init_params(k1, tcfg, dtype=dtype),
-        sovits_params=sovits.init_params(k2, vcfg, dtype=dtype),
+        t2s_params=t2s_init(k1, cfg=tcfg, dtype=dtype),
+        sovits_params=sovits_init(k2, cfg=vcfg, dtype=dtype),
         t2s_cfg=tcfg, sovits_cfg=vcfg,
     )
 
