@@ -72,6 +72,8 @@ def load_character(character_name: str,
                    language: str) -> None:
     """Load a character checkpoint directory (t2s/vits safetensors)."""
     language = require_supported(language)
+    if "Chinese" in language:  # Chinese/Hybrid: warm the BERT feature model
+        model_manager.load_roberta()
     model_manager.load_character(character_name, os.fspath(model_dir), language)
 
 

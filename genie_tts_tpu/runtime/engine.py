@@ -102,11 +102,30 @@ def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
     return audio, codes_len
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Cache compiled XLA programs across processes (first compile of the
+    full pipeline costs tens of seconds per graph on tunneled hosts).
+    Opt out with GENIE_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("GENIE_NO_COMPILE_CACHE"):
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/genie_tts_tpu_xla"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - config name drift
+        logger.debug("could not enable persistent compilation cache")
+
+
 class TTSEngine:
     """Stateless-compute engine; all mutable state is the jit cache."""
 
     def __init__(self, runtime_cfg: Optional[RuntimeConfig] = None):
         self.cfg = runtime_cfg or RuntimeConfig()
+        _enable_persistent_compile_cache()
         self._lock = threading.Lock()
         self._rng = np.random.default_rng(0)
         # jitted stage functions (shared across characters; retrace only on

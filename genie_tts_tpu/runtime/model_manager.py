@@ -17,8 +17,8 @@ from typing import Dict, Optional, Tuple
 
 import jax
 
-from ..config import (HubertConfig, RuntimeConfig, SoVITSConfig, T2SConfig,
-                      hubert_dir)
+from ..config import (HubertConfig, RobertaConfig, RuntimeConfig, SoVITSConfig,
+                      T2SConfig, hubert_dir, roberta_dir)
 from ..utils.lru import LRUCache
 from .engine import CharacterModel
 
@@ -66,6 +66,8 @@ class ModelManager:
         # name -> (model_dir, language) for self-healing reload after evict
         self._registry: Dict[str, Tuple[str, str]] = {}
         self._hubert: Optional[Tuple[Dict, HubertConfig]] = None
+        self._roberta = None          # (params, cfg, tokenizer) when loaded
+        self._roberta_tried = False
 
     # -- characters -------------------------------------------------------
 
@@ -151,6 +153,76 @@ class ModelManager:
         """Inject HuBERT weights (tests / preloaded)."""
         with self._lock:
             self._hubert = (params, cfg)
+
+    def load_roberta(self):
+        """Lazy global RoBERTa + tokenizer for Chinese BERT features
+        (reference: ``ModelManager.load_roberta_model``). Installs the
+        per-phoneme feature hook into the G2P dispatcher. Returns the
+        (params, cfg, tokenizer) triple or None when assets are missing."""
+        with self._lock:
+            if self._roberta is not None:
+                return self._roberta
+            if self._roberta_tried:
+                return None
+            self._roberta_tried = True
+            root = roberta_dir()
+            ckpt = root / "roberta.safetensors"
+            tok_path = root / "tokenizer.json"
+            if not (ckpt.is_file() and tok_path.is_file()):
+                logger.warning(
+                    "RoBERTa assets not found at %s; Chinese BERT features "
+                    "will be zero (pronunciation unaffected, prosody degrades)",
+                    root)
+                return None
+            from ..convert.io import load_params
+            from tokenizers import Tokenizer
+
+            self._roberta = (load_params(ckpt), RobertaConfig(),
+                             Tokenizer.from_file(str(tok_path)))
+            self._install_bert_hook()
+            return self._roberta
+
+    def set_roberta(self, params: Dict, cfg: RobertaConfig, tokenizer) -> None:
+        """Inject RoBERTa weights + tokenizer (tests / preloaded)."""
+        with self._lock:
+            self._roberta = (params, cfg, tokenizer)
+            self._install_bert_hook()
+
+    def _install_bert_hook(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..frontend.dispatcher import set_bert_feature_fn
+        from ..models import roberta as roberta_model
+        from .buckets import pad_to, pick_bucket
+
+        params, cfg, tokenizer = self._roberta
+        apply = jax.jit(roberta_model.phone_features,
+                        static_argnames=("cfg", "max_phones"))
+        buckets = self.cfg.phoneme_buckets
+
+        def bert_fn(norm_text: str, word2ph) -> np.ndarray:
+            enc = tokenizer.encode(norm_text)
+            ids = np.asarray(enc.ids, np.int32)
+            mask = np.asarray(enc.attention_mask, np.int32)
+            n_chars = len(ids) - 2  # CLS/SEP stripped in the graph
+            reps = np.asarray(word2ph, np.int32)
+            if len(reps) != n_chars:
+                # tokenizer/char mismatch (rare unicode): zero features
+                return np.zeros((int(sum(word2ph)), cfg.embed_dim), np.float32)
+            total = int(reps.sum())
+            max_phones = pick_bucket(total, buckets)
+            # static shapes: pad tokens + repeats to the bucket ladder
+            tok_bucket = pick_bucket(len(ids), buckets)
+            out = apply(params,
+                        pad_to(ids, tok_bucket)[None],
+                        pad_to(mask, tok_bucket)[None],
+                        pad_to(reps, tok_bucket - 2),
+                        cfg=cfg, max_phones=max_phones)
+            return np.asarray(out[:total], np.float32)
+
+        set_bert_feature_fn(bert_fn)
 
 
 model_manager = ModelManager()
