@@ -1,15 +1,13 @@
-"""Speaker-verification embedding model (ERes2NetV2) — V2ProPlus cloning.
+"""Speaker-verification embedding — V2ProPlus cloning surface.
 
 Role of the reference's ``speaker_encoder.onnx``
 (``/root/reference/src/genie_tts/Core/Resources.py:57-60``, invoked at
 ``Audio/ReferenceAudio.py:71-76``): 16 kHz waveform -> 20480-d embedding
 fed to the prompt encoder.
 
-The full ERes2NetV2 JAX port (res2net stages + attentional feature fusion
-+ statistics pooling over the 3D-Speaker geometry) is scheduled for the
-next round; this module provides the loading/gating surface so the
-pipeline degrades with an actionable error instead of crashing, and an
-injectable hook used by tests.
+Backed by the ERes2NetV2 JAX model (models/eres2net.py) over Kaldi fbank
+features (ops/audio.kaldi_fbank) when the checkpoint asset is present;
+injectable hook for tests/plugins.
 """
 from __future__ import annotations
 
@@ -25,6 +23,7 @@ logger = logging.getLogger(__name__)
 SV_EMB_DIM = 20480
 
 _custom_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
+_loaded_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
 
 
 def set_sv_fn(fn: Optional[Callable[[np.ndarray], np.ndarray]]) -> None:
@@ -33,14 +32,35 @@ def set_sv_fn(fn: Optional[Callable[[np.ndarray], np.ndarray]]) -> None:
     _custom_fn = fn
 
 
+def make_sv_fn(params) -> Callable[[np.ndarray], np.ndarray]:
+    """Build audio_16k -> [20480] from an ERes2NetV2 param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.audio import kaldi_fbank
+    from . import eres2net
+
+    apply = jax.jit(eres2net.apply)
+
+    def fn(audio_16k: np.ndarray) -> np.ndarray:
+        feats = kaldi_fbank(jnp.asarray(audio_16k, jnp.float32)[None])
+        return np.asarray(apply(params, feats)[0], np.float32)
+
+    return fn
+
+
 def get_sv_fn() -> Optional[Callable[[np.ndarray], np.ndarray]]:
     """Returns audio_16k -> [20480] embedding fn, or None if unavailable."""
+    global _loaded_fn
     if _custom_fn is not None:
         return _custom_fn
+    if _loaded_fn is not None:
+        return _loaded_fn
     path = sv_model_path()
     if path.is_file():
-        raise NotImplementedError(
-            f"SV checkpoint found at {path} but the ERes2NetV2 JAX model is "
-            "not implemented yet (scheduled next round).")
+        from ..convert.io import load_params
+
+        _loaded_fn = make_sv_fn(load_params(path))
+        return _loaded_fn
     logger.warning("SV model unavailable (%s); V2ProPlus cloning disabled", path)
     return None

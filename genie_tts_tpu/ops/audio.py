@@ -76,6 +76,66 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
     return fb.astype(np.float32)
 
 
+def _hz_to_mel_htk(f):
+    return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (np.exp(np.asarray(m, np.float64) / 1127.0) - 1.0)
+
+
+def kaldi_mel_banks(num_bins: int, n_fft: int, sr: int,
+                    low_freq: float = 20.0, high_freq: float = 0.0) -> np.ndarray:
+    """Kaldi-style (HTK-mel, un-normalized triangular) filterbank
+    [num_bins, n_fft//2+1]."""
+    if high_freq <= 0:
+        high_freq = sr / 2 + high_freq
+    mel_lo, mel_hi = _hz_to_mel_htk(low_freq), _hz_to_mel_htk(high_freq)
+    centers = np.linspace(mel_lo, mel_hi, num_bins + 2)
+    bins = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    mel_of_bin = _hz_to_mel_htk(bins)
+    fb = np.zeros((num_bins, len(bins)), np.float32)
+    for i in range(num_bins):
+        left, ctr, right = centers[i], centers[i + 1], centers[i + 2]
+        up = (mel_of_bin - left) / (ctr - left)
+        down = (right - mel_of_bin) / (right - ctr)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+@partial(jax.jit, static_argnames=("num_bins", "sr"))
+def kaldi_fbank(audio: jnp.ndarray, num_bins: int = 80, sr: int = 16000) -> jnp.ndarray:
+    """Kaldi-compatible log-mel fbank (dither 0): [B, S] -> [B, T, num_bins].
+
+    25 ms povey-windowed frames, 10 ms shift, snip_edges, preemphasis 0.97,
+    per-frame mean removal — the feature front end of the ERes2NetV2
+    speaker-verification model (models/sv.py).
+    """
+    frame_len = int(0.025 * sr)
+    frame_shift = int(0.010 * sr)
+    n_fft = 1
+    while n_fft < frame_len:
+        n_fft *= 2
+    audio = audio.astype(jnp.float32) * 32768.0  # kaldi int16 scaling
+    B, S = audio.shape
+    n_frames = 1 + (S - frame_len) // frame_shift
+    idx = jnp.arange(n_frames)[:, None] * frame_shift + jnp.arange(frame_len)[None, :]
+    frames = audio[:, idx]                               # [B, T, L]
+    # remove DC offset, then preemphasis
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    pre = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+    frames = frames - 0.97 * pre
+    # povey window = hann ** 0.85
+    n = jnp.arange(frame_len, dtype=jnp.float32)
+    win = (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / (frame_len - 1))) ** 0.85
+    frames = frames * win
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = jnp.abs(spec) ** 2
+    fb = jnp.asarray(kaldi_mel_banks(num_bins, n_fft, sr))
+    mel = jnp.einsum("btf,mf->btm", power, fb)
+    return jnp.log(jnp.maximum(mel, 1e-10))
+
+
 def resample_poly(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Host-side polyphase resampling (scipy), e.g. 32k <-> 16k.
 
