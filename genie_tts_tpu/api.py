@@ -137,7 +137,14 @@ def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = Non
         return engine.synthesize_utterance(
             char, feats, phones, bert, sampling=sampling)
 
-    return synth
+    def synth_stream(sentence: str):
+        phones, bert = get_phones_and_bert("。" + sentence, char.language)
+        if len(phones) == 0:
+            return
+        yield from engine.synthesize_utterance_stream(
+            char, feats, phones, bert, sampling=sampling)
+
+    return synth, synth_stream
 
 
 def tts(character_name: str,
@@ -155,7 +162,7 @@ def tts(character_name: str,
         parent = os.path.dirname(save_path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-    synth = _make_synth_fn(character_name, sampling)
+    synth, _ = _make_synth_fn(character_name, sampling)
     tts_session.start_session(synth, play=play, split=split_sentence,
                               save_path=save_path)
     tts_session.feed(text)
@@ -185,9 +192,10 @@ async def tts_async(character_name: str,
     def chunk_cb(chunk: Optional[bytes]) -> None:
         loop.call_soon_threadsafe(stream_q.put_nowait, chunk)
 
-    synth = _make_synth_fn(character_name, sampling)
+    synth, synth_stream = _make_synth_fn(character_name, sampling)
     tts_session.start_session(synth, play=play, split=split_sentence,
-                              save_path=save_path, chunk_callback=chunk_cb)
+                              save_path=save_path, chunk_callback=chunk_cb,
+                              synth_stream_fn=synth_stream)
     tts_session.feed(text)
     tts_session.end_session()
     while True:

@@ -335,6 +335,78 @@ class TTSEngine:
             pieces.append(a[:, off: off + n])
         return np.concatenate([np.asarray(p) for p in pieces], axis=1)
 
+    def synthesize_utterance_stream(
+        self,
+        char: CharacterModel,
+        ref: ReferenceFeatures,
+        text_phones: np.ndarray,
+        text_bert: np.ndarray,
+        sampling: Optional[SamplingConfig] = None,
+        seed: Optional[int] = None,
+        noise_scale: float = 0.5,
+    ):
+        """Generator of waveform chunks for one sentence (intra-utterance
+        streaming): yields ~``vocode_chunk``-frame pieces as the chunked
+        HiFi-GAN completes them. First chunk latency ~= decode + one vocode
+        chunk, instead of the whole utterance."""
+        scfg = sampling or SamplingConfig()
+        tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
+        if seed is None:
+            seed = int(self._rng.integers(0, 2 ** 31 - 1))
+        k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
+
+        phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
+        x_len = len(phones)
+        x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
+        p_len = len(ref.prompt_tokens)
+        p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
+        max_steps = tcfg.max_decode_steps
+        if np.any(ref.bert) or np.any(text_bert):
+            bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
+            bert_dev = pad_to(bert, x_bucket, axis=0)[None]
+        else:
+            bert_dev = None
+
+        codes, codes_len = self._generate_e2e(
+            char.t2s_params, tcfg, scfg, k_gen,
+            pad_to(phones, x_bucket)[None], bert_dev,
+            np.array([x_len], np.int32),
+            ref.prompts_dev(p_bucket), np.array([p_len], np.int32),
+            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps)
+        n_codes = int(codes_len[0])
+        if n_codes == 0:
+            return
+        c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
+        codes_b = (self._slice_codes(codes, n=c_bucket)
+                   if c_bucket < codes.shape[1]
+                   else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
+        t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
+        z = self._latent(
+            char.sovits_params, vcfg, k_syn, codes_b, codes_len,
+            pad_to(text_phones.astype(np.int32), t_bucket)[None],
+            np.array([len(text_phones)], np.int32),
+            ref.ge_dev, ref.ge_mrte_dev, noise_scale)
+
+        hop = vcfg.hop_length
+        F = z.shape[1]
+        chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+        frames_valid = 2 * codes_len
+        total_valid = 2 * n_codes
+        emitted = 0
+        for start in range(0, F, chunk):
+            if emitted >= total_valid:
+                break
+            s0 = max(start - halo, 0)
+            s1 = min(start + chunk + halo, F)
+            zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
+            valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
+            a = self._vocode(char.sovits_params, vcfg, zc, ref.ge_dev, valid)
+            off = (start - s0) * hop
+            n_frames = min(chunk, total_valid - start)
+            piece = np.asarray(a[0, off: off + n_frames * hop], np.float32)
+            emitted += n_frames
+            yield piece
+
     def synthesize_batch(
         self,
         char: CharacterModel,

@@ -68,12 +68,17 @@ class TTSSession:
         split: bool = True,
         save_path: Optional[str] = None,
         chunk_callback: Optional[Callable[[Optional[bytes]], None]] = None,
+        synth_stream_fn: Optional[Callable[[str], "object"]] = None,
     ) -> None:
-        """Begin a synthesis session. ``synth_fn(sentence) -> waveform``."""
+        """Begin a synthesis session. ``synth_fn(sentence) -> waveform``.
+
+        ``synth_stream_fn(sentence) -> iterator[waveform chunks]`` enables
+        intra-utterance streaming (used when a chunk callback is set)."""
         with self._api_lock:
             self._stop_event.clear()
             self._tts_done.clear()
             self._synth_fn = synth_fn
+            self._synth_stream_fn = synth_stream_fn
             self._play = play and _HAS_AUDIO_OUT
             if play and not _HAS_AUDIO_OUT:
                 logger.warning("sounddevice unavailable; play=True ignored")
@@ -131,18 +136,29 @@ class TTSSession:
             if self._stop_event.is_set():
                 continue
             try:
+                stream_fn = getattr(self, "_synth_stream_fn", None)
+                if self._chunk_cb is not None and stream_fn is not None:
+                    # intra-utterance streaming: emit vocoder chunks live
+                    for piece in stream_fn(item):
+                        if self._stop_event.is_set():
+                            break
+                        self._emit(piece)
+                    continue
                 audio = self._synth_fn(item)
             except Exception:
                 logger.exception("synthesis failed for %r", item)
                 continue
             if audio is None or self._stop_event.is_set():
                 continue
-            if self._chunk_cb is not None:
-                self._chunk_cb(float_to_pcm16_bytes(audio))
-            if self._save_path:
-                self._session_chunks.append(audio)
-            if self._play:
-                self._audio_q.put(audio)
+            self._emit(audio)
+
+    def _emit(self, audio: np.ndarray) -> None:
+        if self._chunk_cb is not None:
+            self._chunk_cb(float_to_pcm16_bytes(audio))
+        if self._save_path:
+            self._session_chunks.append(audio)
+        if self._play:
+            self._audio_q.put(audio)
 
     def _finish_session(self) -> None:
         if self._save_path and self._session_chunks:

@@ -31,10 +31,11 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
         chunk_q.put(None)
         return
     try:
-        synth = api._make_synth_fn(character)
+        synth, synth_stream = api._make_synth_fn(character)
         api.tts_session.start_session(
             synth, play=False, split=split,
-            chunk_callback=lambda c: chunk_q.put(c))
+            chunk_callback=lambda c: chunk_q.put(c),
+            synth_stream_fn=synth_stream)
         api.tts_session.feed(text)
         api.tts_session.end_session()
         api.tts_session.wait_for_tts_completion()
