@@ -132,10 +132,103 @@ def rule_g2p(word: str) -> List[str]:
 
 
 # ---------------------------------------------------------------------------
+# Homograph disambiguation (reference uses nltk POS tagging,
+# EnglishG2P.py homograph path; here: POS when nltk data is present, else a
+# determiner/infinitive context heuristic over the noun/verb stress pairs)
+# ---------------------------------------------------------------------------
+
+# word -> (noun/adjective pronunciation, verb pronunciation)
+_HOMOGRAPHS: Dict[str, tuple] = {
+    "read": (["R", "IY1", "D"], ["R", "IY1", "D"]),  # past tense handled below
+    "lead": (["L", "EH1", "D"], ["L", "IY1", "D"]),
+    "live": (["L", "AY1", "V"], ["L", "IH1", "V"]),
+    "wind": (["W", "IH1", "N", "D"], ["W", "AY1", "N", "D"]),
+    "tear": (["T", "IH1", "R"], ["T", "EH1", "R"]),
+    "bow": (["B", "OW1"], ["B", "AW1"]),
+    "close": (["K", "L", "OW1", "S"], ["K", "L", "OW1", "Z"]),
+    "use": (["Y", "UW1", "S"], ["Y", "UW1", "Z"]),
+    "record": (["R", "EH1", "K", "ER0", "D"], ["R", "IH0", "K", "AO1", "R", "D"]),
+    "present": (["P", "R", "EH1", "Z", "AH0", "N", "T"],
+                ["P", "R", "IH0", "Z", "EH1", "N", "T"]),
+    "object": (["AA1", "B", "JH", "EH0", "K", "T"],
+               ["AH0", "B", "JH", "EH1", "K", "T"]),
+    "project": (["P", "R", "AA1", "JH", "EH0", "K", "T"],
+                ["P", "R", "AH0", "JH", "EH1", "K", "T"]),
+    "produce": (["P", "R", "OW1", "D", "UW0", "S"],
+                ["P", "R", "AH0", "D", "UW1", "S"]),
+    "conduct": (["K", "AA1", "N", "D", "AH0", "K", "T"],
+                ["K", "AH0", "N", "D", "AH1", "K", "T"]),
+    "content": (["K", "AA1", "N", "T", "EH0", "N", "T"],
+                ["K", "AH0", "N", "T", "EH1", "N", "T"]),
+    "contract": (["K", "AA1", "N", "T", "R", "AE0", "K", "T"],
+                 ["K", "AH0", "N", "T", "R", "AE1", "K", "T"]),
+    "permit": (["P", "ER1", "M", "IH0", "T"], ["P", "ER0", "M", "IH1", "T"]),
+    "subject": (["S", "AH1", "B", "JH", "EH0", "K", "T"],
+                ["S", "AH0", "B", "JH", "EH1", "K", "T"]),
+    "desert": (["D", "EH1", "Z", "ER0", "T"], ["D", "IH0", "Z", "ER1", "T"]),
+    "refuse": (["R", "EH1", "F", "Y", "UW0", "S"],
+               ["R", "IH0", "F", "Y", "UW1", "Z"]),
+    "increase": (["IH1", "N", "K", "R", "IY0", "S"],
+                 ["IH0", "N", "K", "R", "IY1", "S"]),
+    "progress": (["P", "R", "AA1", "G", "R", "EH0", "S"],
+                 ["P", "R", "AH0", "G", "R", "EH1", "S"]),
+    "import": (["IH1", "M", "P", "AO0", "R", "T"],
+               ["IH0", "M", "P", "AO1", "R", "T"]),
+    "export": (["EH1", "K", "S", "P", "AO0", "R", "T"],
+               ["IH0", "K", "S", "P", "AO1", "R", "T"]),
+}
+
+_VERB_CUES = frozenset({
+    "to", "will", "would", "can", "could", "shall", "should", "may", "might",
+    "must", "do", "does", "did", "don't", "doesn't", "didn't", "i", "we",
+    "you", "they", "please",
+})
+_NOUN_CUES = frozenset({
+    "the", "a", "an", "this", "that", "these", "those", "my", "your", "his",
+    "her", "its", "our", "their", "no", "some", "any", "each", "every",
+})
+
+
+def _nltk_pos(word: str, prev: Optional[str]) -> Optional[str]:
+    """POS via nltk when its tagger data is installed; None otherwise."""
+    try:
+        import nltk
+
+        tokens = ([prev, word] if prev else [word])
+        tags = nltk.pos_tag(tokens)
+        return tags[-1][1]
+    except Exception:
+        return None
+
+
+def disambiguate_homograph(word: str, prev: Optional[str]) -> Optional[List[str]]:
+    pair = _HOMOGRAPHS.get(word)
+    if pair is None:
+        return None
+    noun_pron, verb_pron = pair
+    tag = _nltk_pos(word, prev)
+    if tag is not None:
+        return verb_pron if tag.startswith("VB") else noun_pron
+    prev = (prev or "").lower()
+    if prev in _VERB_CUES:
+        return verb_pron
+    if prev in _NOUN_CUES:
+        return noun_pron
+    return noun_pron  # default: the more common citation form
+
+
+# ---------------------------------------------------------------------------
 # Word lookup with fallbacks
 # ---------------------------------------------------------------------------
 
-def word_to_phones(word: str) -> List[str]:
+def word_to_phones(word: str, prev: Optional[str] = None) -> List[str]:
+    homograph = disambiguate_homograph(word.lower(), prev)
+    if homograph is not None:
+        return list(homograph)
+    return _word_to_phones_nohg(word)
+
+
+def _word_to_phones_nohg(word: str) -> List[str]:
     d = _load_dict()
     w = word.lower()
     if w in d:
@@ -162,11 +255,15 @@ def word_to_phones(word: str) -> List[str]:
 def english_to_phone_strs(text: str) -> List[str]:
     text = normalize_english(text.lower())
     phones: List[str] = []
+    prev: Optional[str] = None
     for tok in _WORD_RE.findall(text):
         if tok in _PUNCT_KEEP:
             phones.append(tok)
+            prev = None
         elif tok.strip("'"):
-            phones.extend(word_to_phones(tok.strip("'")))
+            word = tok.strip("'")
+            phones.extend(word_to_phones(word, prev=prev))
+            prev = word
     return phones
 
 

@@ -153,3 +153,36 @@ class TestDispatcher:
     def test_japanese(self):
         ids, bert = get_phones_and_bert("こんにちは。", "ja")
         assert len(ids) > 0 and bert.shape[0] == len(ids)
+
+
+class TestHomographs:
+    def test_verb_context(self):
+        from genie_tts_tpu.frontend.g2p_en import word_to_phones
+        assert word_to_phones("record", prev="to") == \
+            ["R", "IH0", "K", "AO1", "R", "D"]
+
+    def test_noun_context(self):
+        from genie_tts_tpu.frontend.g2p_en import word_to_phones
+        assert word_to_phones("record", prev="the") == \
+            ["R", "EH1", "K", "ER0", "D"]
+
+    def test_sentence_integration(self):
+        from genie_tts_tpu.frontend.g2p_en import english_to_phone_strs
+        a = english_to_phone_strs("I will record it.")
+        b = english_to_phone_strs("Play the record.")
+        # stressed vowel differs between verb and noun readings
+        assert "AO1" in a and "EH1" in b
+
+
+class TestSplitterProperties:
+    def test_content_preserved(self):
+        from genie_tts_tpu.frontend.splitter import TextSplitter
+        text = "これはテストです。次の文、そして三つ目！最後はこれ。"
+        out = TextSplitter().split(text)
+        assert "".join(out) == text
+
+    def test_no_empty_sentences(self):
+        from genie_tts_tpu.frontend.splitter import TextSplitter
+        for text in ["。。。あ。", "a.b.c.dddddd.", "、、、短い。x"]:
+            for s in TextSplitter().split(text):
+                assert s.strip()
