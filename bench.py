@@ -84,6 +84,17 @@ def main():
     lat = np.array(lat)
     audio_secs = 2 * DECODE_STEPS / 50.0  # 2 s per utterance
     utt_per_sec = len(suite) / wall
+
+    # batched throughput (continuous-batching serving mode), B=8
+    phones8 = np.asarray(japanese_to_phones(suite[0]), np.int32)
+    bert8 = np.zeros((len(phones8), tcfg.bert_dim), np.float32)
+    items = [(ref, phones8, bert8)] * 8
+    engine.synthesize_batch(char, items, seed=0, fixed_steps=DECODE_STEPS)
+    t0 = time.perf_counter()
+    n_b = 4
+    for i in range(n_b):
+        engine.synthesize_batch(char, items, seed=i, fixed_steps=DECODE_STEPS)
+    batched_utt_per_sec = 8 * n_b / (time.perf_counter() - t0)
     result = {
         "metric": "ja100_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -94,6 +105,9 @@ def main():
             "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
             "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
             "rtf": round(float(np.median(lat)) / audio_secs, 4),
+            "batched_b8_utt_per_sec": round(batched_utt_per_sec, 2),
+            "batched_rtf_per_chip": round(
+                1.0 / (batched_utt_per_sec * audio_secs), 4),
             "decode_steps": DECODE_STEPS,
             "compile_s": round(compile_s, 1),
         },

@@ -414,6 +414,7 @@ class TTSEngine:
         sampling: Optional[SamplingConfig] = None,
         seed: Optional[int] = None,
         noise_scale: float = 0.5,
+        fixed_steps: Optional[int] = None,
     ) -> "list[np.ndarray]":
         """Batched synthesis for continuous serving.
 
@@ -444,7 +445,7 @@ class TTSEngine:
         x_bucket = pick_bucket(int(x_lens.max()), self.cfg.phoneme_buckets)
         p_bucket = pick_bucket(int(p_lens.max()), self.cfg.prompt_buckets)
         t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
-        max_steps = tcfg.max_decode_steps
+        max_steps = fixed_steps or tcfg.max_decode_steps
 
         phones_b = np.stack([pad_to(p, x_bucket) for p in phones_rows])
         prompts_b = np.stack([pad_to(p, p_bucket) for p in prompt_rows])
@@ -457,6 +458,7 @@ class TTSEngine:
             jnp.asarray(phones_b), bert_b, jnp.asarray(x_lens),
             jnp.asarray(prompts_b), jnp.asarray(p_lens),
             max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
+            min_steps=fixed_steps or 0,
         )
         lens = np.asarray(codes_len)
         c_bucket = pick_bucket(int(max(lens.max(), 1)), self.cfg.frame_buckets)

@@ -144,3 +144,50 @@ def test_finalize_trims_interior_eos():
     out = t2s.finalize_semantic_tokens(tokens, counts, eos_id=32)
     # last zeroed, then interior >=eos trimmed
     np.testing.assert_array_equal(out[0], [5])
+
+
+class TestDecodeLoopSemantics:
+    """Stub-level decode-loop contract: max-step cap, EOS stop, batching."""
+
+    def test_max_steps_cap(self, params):
+        x = t2s.embed_text(params, jnp.zeros((1, 6), jnp.int32),
+                           jnp.zeros((1, 6, CFG.bert_dim)))
+        res = t2s.generate(params, CFG, SCFG, jax.random.PRNGKey(0), x,
+                           jnp.array([6]), jnp.zeros((1, 4), jnp.int32),
+                           jnp.array([4]), max_steps=5, cache_len=15)
+        assert int(res.steps) <= 5
+        assert int(res.counts[0]) <= 5
+
+    def test_min_steps_blocks_eos(self, params):
+        x = t2s.embed_text(params, jnp.zeros((1, 6), jnp.int32),
+                           jnp.zeros((1, 6, CFG.bert_dim)))
+        res = t2s.generate(params, CFG, SCFG, jax.random.PRNGKey(2), x,
+                           jnp.array([6]), jnp.zeros((1, 4), jnp.int32),
+                           jnp.array([4]), max_steps=10, cache_len=20,
+                           min_steps=10)
+        assert int(res.counts[0]) == 10
+        # EOS is masked out of sampling below min_steps
+        emitted = np.asarray(res.tokens[0][:10])
+        assert (emitted[:-1] != CFG.eos_id).all()
+
+    def test_per_row_done_freezes_tokens(self, params):
+        # two rows; whichever stops first must keep EOS-frozen tail
+        x = t2s.embed_text(params, jnp.zeros((2, 6), jnp.int32),
+                           jnp.zeros((2, 6, CFG.bert_dim)))
+        res = t2s.generate(params, CFG, SCFG, jax.random.PRNGKey(5), x,
+                           jnp.array([6, 6]), jnp.zeros((2, 4), jnp.int32),
+                           jnp.array([4, 4]), max_steps=16, cache_len=26)
+        for b in range(2):
+            cnt = int(res.counts[b])
+            tail = np.asarray(res.tokens[b][cnt:int(res.steps)])
+            if len(tail):  # frozen rows emit EOS markers after finishing
+                assert (tail == CFG.eos_id).all() or (tail == 0).all()
+
+    def test_finalize_device_matches_host(self, params):
+        tokens = jnp.array([[5, 6, 33, 7, 32, 0]], jnp.int32)
+        counts = jnp.array([5])
+        codes, lens = t2s.finalize_tokens_device(tokens, counts, eos_id=32)
+        host = t2s.finalize_semantic_tokens(np.asarray(tokens),
+                                            np.asarray(counts), eos_id=32)
+        np.testing.assert_array_equal(np.asarray(codes[0][: int(lens[0])]),
+                                      host[0])
