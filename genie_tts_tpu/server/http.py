@@ -71,6 +71,20 @@ class GenieHandler(BaseHTTPRequestHandler):
             return self._reply(200, metrics.snapshot())
         if self.path == "/health":
             return self._reply(200, {"status": "ok"})
+        if self.path in ("/", "/index.html"):
+            from .webui import INDEX_HTML
+
+            body = INDEX_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if self.path == "/presets":
+            from .webui import load_presets
+
+            return self._reply(200, load_presets())
         return self._reply(404, {"detail": f"unknown endpoint {self.path}"})
 
     def do_POST(self):  # noqa: N802 (stdlib API)
@@ -105,6 +119,16 @@ class GenieHandler(BaseHTTPRequestHandler):
                 return self._reply(200, {"status": "ok"})
             if self.path == "/tts":
                 return self._handle_tts(payload)
+            if self.path == "/presets":
+                from .webui import save_preset
+
+                save_preset(payload["name"], payload["preset"])
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/presets/delete":
+                from .webui import delete_preset
+
+                delete_preset(payload["name"])
+                return self._reply(200, {"status": "ok"})
             return self._reply(404, {"detail": f"unknown endpoint {self.path}"})
         except (KeyError, ValueError, FileNotFoundError) as e:
             return self._reply(400, {"detail": str(e)})

@@ -128,16 +128,17 @@ class TestPublicAPI:
             genie.load_character("bad", char_dir, "klingon")
 
 
+@pytest.fixture(scope="module")
+def server():
+    from genie_tts_tpu.server.http import start_server, stop_server
+
+    srv = start_server(host="127.0.0.1", port=18321, block=False)
+    time.sleep(0.2)
+    yield srv
+    stop_server()
+
+
 class TestServer:
-    @pytest.fixture(scope="class")
-    def server(self):
-        from genie_tts_tpu.server.http import start_server, stop_server
-
-        srv = start_server(host="127.0.0.1", port=18321, block=False)
-        time.sleep(0.2)
-        yield srv
-        stop_server()
-
     def _post(self, path, payload, timeout=240):
         req = urllib.request.Request(
             f"http://127.0.0.1:18321{path}",
@@ -174,3 +175,21 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             self._post("/nope", {})
         assert ei.value.code == 404
+
+
+class TestWebUI:
+    def test_index_and_presets(self, tmp_path, monkeypatch):
+        from genie_tts_tpu.server import webui
+        monkeypatch.setattr(webui, "PRESETS_PATH", tmp_path / "p.json")
+        assert webui.load_presets() == {}
+        webui.save_preset("a", {"character_name": "x"})
+        assert webui.load_presets()["a"]["character_name"] == "x"
+        webui.delete_preset("a")
+        assert webui.load_presets() == {}
+        assert "<html" in webui.INDEX_HTML
+
+    def test_server_serves_index(self, server):
+        import urllib.request
+        r = urllib.request.urlopen("http://127.0.0.1:18321/", timeout=10)
+        assert r.status == 200
+        assert b"genie-tts-tpu" in r.read()
