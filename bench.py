@@ -44,7 +44,6 @@ def main():
     from genie_tts_tpu.frontend.g2p_ja import japanese_to_phones
     from genie_tts_tpu.models import t2s
     from genie_tts_tpu.ops.sampling import SamplingConfig
-    from genie_tts_tpu.runtime.buckets import pad_to, pick_bucket
     from genie_tts_tpu.runtime.engine import (
         TTSEngine, make_random_character, make_random_reference,
     )

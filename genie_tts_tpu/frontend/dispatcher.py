@@ -13,7 +13,6 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from ..config import RobertaConfig
 from .language import CHINESE, ENGLISH, HYBRID, JAPANESE, normalize_language
 
 BERT_DIM = 1024

@@ -17,7 +17,6 @@ from __future__ import annotations
 import logging
 import re
 from functools import lru_cache
-from pathlib import Path
 from typing import Dict, List, Optional
 
 from ..config import english_g2p_dir

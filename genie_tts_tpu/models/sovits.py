@@ -32,7 +32,7 @@ MXU; masks are multiplicative [B, T, 1].
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import threading
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import logging
 import threading
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import RuntimeConfig
