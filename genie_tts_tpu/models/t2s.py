@@ -159,15 +159,16 @@ def _layer_prefill(lp: Params, h: jnp.ndarray, mask: jnp.ndarray, num_heads: int
 
 def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask,
                   num_heads: int, use_flash: bool = False):
-    """One-token decode layer. h: [B,1,D]; caches [B,H,S,Dh]; pos: [B]."""
+    """One-token decode layer. h: [B,1,D]; caches [B,H,S,Dh]; pos: scalar
+    (the write position is row-uniform: static text/prompt buckets + step),
+    so the cache update is a cheap dynamic_update_slice, not a scatter."""
     qkv = linear(lp["qkv"], h)
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, num_heads)        # [B,H,1,Dh]
-    k_new = _split_heads(k_new, num_heads)[:, :, 0]  # [B,H,Dh]
-    v_new = _split_heads(v_new, num_heads)[:, :, 0]
-    b_idx = jnp.arange(h.shape[0])
-    k_cache = k_cache.at[b_idx, :, pos].set(k_new)
-    v_cache = v_cache.at[b_idx, :, pos].set(v_new)
+    k_new = _split_heads(k_new, num_heads)  # [B,H,1,Dh]
+    v_new = _split_heads(v_new, num_heads)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, pos, axis=2)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, pos, axis=2)
     if use_flash:
         from ..ops.flash_decode import flash_decode_attention
 
@@ -259,13 +260,16 @@ def generate(
     cache_len: int,
     min_steps: int = 0,
     use_flash: bool = False,
+    layer_unroll: int = 8,
 ) -> GenerateResult:
     """Prefill + sample + full AR decode in one XLA program.
 
     ``min_steps``: EOS may not fire before this many tokens (0 = reference
     behavior; also used to pin decode length in benchmarks).
     ``use_flash``: route decode attention through the Pallas kernel
-    (ops/flash_decode.py; TPU only)."""
+    (ops/flash_decode.py; TPU only).
+    ``layer_unroll``: unroll factor of the per-step layer scan (amortizes
+    loop control overhead; 24 layers, so 1/2/4/6/8/12/24 are natural)."""
     B, Sx, D = x.shape
     Sp = prompts.shape[1]
     H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
@@ -310,7 +314,7 @@ def generate(
             | ((kv_positions >= Sx) & (kv_positions < Sx + p_len[:, None]))
             | ((kv_positions >= Sx + Sp) & (kv_positions <= Sx + Sp + step - 1))
         )
-        pos_b = jnp.full((B,), write_pos, jnp.int32)
+        pos_b = write_pos  # row-uniform write position (scalar)
 
         def layer_body(h, inputs):
             lp, kc, vc = inputs
@@ -318,7 +322,9 @@ def generate(
                                       use_flash=use_flash)
             return h, (kc, vc)
 
-        h, (k_cache, v_cache) = jax.lax.scan(layer_body, h, (params["layers"], k_cache, v_cache))
+        h, (k_cache, v_cache) = jax.lax.scan(
+            layer_body, h, (params["layers"], k_cache, v_cache),
+            unroll=layer_unroll)
         logits = jnp.dot(
             h[:, 0].astype(jnp.float32), params["predict"]["w"].astype(jnp.float32)
         )                                                      # [B, V]
@@ -380,6 +386,7 @@ def generate_e2e(
     cache_len: int,
     min_steps: int = 0,
     use_flash: bool = False,
+    layer_unroll: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-dispatch T2S: embed + prefill + AR decode + EOS finalize.
 
@@ -390,7 +397,7 @@ def generate_e2e(
     x = embed_text(params, phones, bert)
     res = generate(params, cfg, scfg, key, x, x_len, prompts, p_len,
                    max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
-                   use_flash=use_flash)
+                   use_flash=use_flash, layer_unroll=layer_unroll)
     return finalize_tokens_device(res.tokens, res.counts, cfg.eos_id)
 
 

@@ -131,11 +131,11 @@ class TTSEngine:
         # new bucket shapes)
         self._generate = jax.jit(
             t2s.generate,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash", "layer_unroll"),
         )
         self._generate_e2e = jax.jit(
             t2s.generate_e2e,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash", "layer_unroll"),
         )
         self._embed_text = jax.jit(t2s.embed_text)
         self._extract_prompt = jax.jit(t2s.extract_prompt_tokens)
