@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RobertaConfig
-from ..ops.layers import attention, layer_norm, linear
+from ..ops.layers import attention, linear
+from ..ops.layers import layer_norm as _ln_base
+
+
+def layer_norm(p, x):
+    return _ln_base(p, x, eps=1e-12)  # BERT-family epsilon
 
 Params = Dict
 
