@@ -260,7 +260,7 @@ def generate(
     cache_len: int,
     min_steps: int = 0,
     use_flash: bool = False,
-    layer_unroll: int = 8,
+    layer_unroll: int = 1,
 ) -> GenerateResult:
     """Prefill + sample + full AR decode in one XLA program.
 
@@ -268,8 +268,9 @@ def generate(
     behavior; also used to pin decode length in benchmarks).
     ``use_flash``: route decode attention through the Pallas kernel
     (ops/flash_decode.py; TPU only).
-    ``layer_unroll``: unroll factor of the per-step layer scan (amortizes
-    loop control overhead; 24 layers, so 1/2/4/6/8/12/24 are natural)."""
+    ``layer_unroll``: unroll factor of the per-step layer scan. Measured
+    runtime-neutral on v5e at B<=8 while multiplying compile time, so the
+    default stays 1; exposed for larger-batch tuning."""
     B, Sx, D = x.shape
     Sp = prompts.shape[1]
     H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
@@ -386,7 +387,7 @@ def generate_e2e(
     cache_len: int,
     min_steps: int = 0,
     use_flash: bool = False,
-    layer_unroll: int = 8,
+    layer_unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-dispatch T2S: embed + prefill + AR decode + EOS finalize.
 
