@@ -84,6 +84,16 @@ def main():
     audio_secs = 2 * DECODE_STEPS / 50.0  # 2 s per utterance
     utt_per_sec = len(suite) / wall
 
+    # pipelined single-client throughput (dispatch-ahead, no batching)
+    pipe_items = []
+    for s in suite:
+        ph = np.asarray(japanese_to_phones(s), np.int32)
+        pipe_items.append((ph, np.zeros((len(ph), tcfg.bert_dim), np.float32)))
+    engine.synthesize_pipelined(char, ref, pipe_items[:4], fixed_steps=DECODE_STEPS)
+    t0 = time.perf_counter()
+    engine.synthesize_pipelined(char, ref, pipe_items, fixed_steps=DECODE_STEPS)
+    pipelined_utt_per_sec = len(pipe_items) / (time.perf_counter() - t0)
+
     # batched throughput (continuous-batching serving mode), B=8
     phones8 = np.asarray(japanese_to_phones(suite[0]), np.int32)
     bert8 = np.zeros((len(phones8), tcfg.bert_dim), np.float32)
@@ -104,6 +114,7 @@ def main():
             "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
             "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
             "rtf": round(float(np.median(lat)) / audio_secs, 4),
+            "pipelined_utt_per_sec": round(pipelined_utt_per_sec, 2),
             "batched_b8_utt_per_sec": round(batched_utt_per_sec, 2),
             "batched_rtf_per_chip": round(
                 1.0 / (batched_utt_per_sec * audio_secs), 4),

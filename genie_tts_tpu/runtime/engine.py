@@ -406,6 +406,71 @@ class TTSEngine:
             emitted += n_frames
             yield piece
 
+    def synthesize_pipelined(
+        self,
+        char: CharacterModel,
+        ref: ReferenceFeatures,
+        items: "list[tuple[np.ndarray, np.ndarray]]",
+        sampling: Optional[SamplingConfig] = None,
+        seed: int = 0,
+        noise_scale: float = 0.5,
+        fixed_steps: Optional[int] = None,
+        window: int = 4,
+    ) -> "list[np.ndarray]":
+        """Sequential utterances with dispatch-ahead pipelining.
+
+        JAX dispatch is asynchronous: the host enqueues utterance i+1's
+        whole program while the device still runs utterance i, then fetches
+        results with a bounded in-flight ``window``. Device utilization
+        approaches 100% without batching — the single-client serving mode.
+        """
+        scfg = sampling or SamplingConfig()
+        tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
+        max_steps = fixed_steps or tcfg.max_decode_steps
+        p_len = len(ref.prompt_tokens)
+        p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
+
+        in_flight: "list[tuple[object, object]]" = []
+        out: "list[np.ndarray]" = []
+
+        def fetch_one():
+            audio, codes_len = in_flight.pop(0)
+            n = int(codes_len[0])
+            out.append(np.asarray(audio[0, : 2 * n * vcfg.hop_length],
+                                  dtype=np.float32))
+
+        for i, (text_phones, text_bert) in enumerate(items):
+            phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
+            x_len = len(phones)
+            x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
+            t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
+            if np.any(ref.bert) or np.any(text_bert):
+                bert_dev = pad_to(np.concatenate([ref.bert, text_bert]).astype(
+                    np.float32), x_bucket, axis=0)[None]
+            else:
+                bert_dev = None
+            audio, codes_len = self._fused(
+                char.t2s_params, char.sovits_params,
+                tcfg=tcfg, vcfg=vcfg, scfg=scfg,
+                key=jax.random.PRNGKey(seed + i),
+                phones=pad_to(phones, x_bucket)[None], bert=bert_dev,
+                x_len=np.array([x_len], np.int32),
+                prompts=ref.prompts_dev(p_bucket),
+                p_len=np.array([p_len], np.int32),
+                text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
+                t_len=np.array([len(text_phones)], np.int32),
+                ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev,
+                noise_scale=noise_scale,
+                max_steps=max_steps,
+                cache_len=x_bucket + p_bucket + max_steps,
+                min_steps=fixed_steps or 0)
+            in_flight.append((audio, codes_len))
+            if len(in_flight) >= window:
+                fetch_one()
+        while in_flight:
+            fetch_one()
+        return out
+
     def synthesize_batch(
         self,
         char: CharacterModel,

@@ -85,3 +85,18 @@ def test_prompt_token_extraction(setup):
     assert (ref.prompt_tokens >= 0).all()
     assert (ref.prompt_tokens < 1024).all()
     assert ref.ge.shape == (VCFG.gin_channels, 1)
+
+
+def test_pipelined_matches_fused(setup):
+    eng, char, ref = setup
+    items = []
+    for i in range(3):
+        ph = np.array([5 + i, 10, 15, 20], np.int32)
+        items.append((ph, np.zeros((4, TCFG.bert_dim), np.float32)))
+    piped = eng.synthesize_pipelined(char, ref, items, seed=100,
+                                     fixed_steps=8, window=2)
+    assert len(piped) == 3
+    for i, (ph, bert) in enumerate(items):
+        solo = eng.synthesize_utterance(char, ref, ph, bert, seed=100 + i,
+                                        fixed_steps=8)
+        np.testing.assert_array_equal(piped[i], solo)
