@@ -36,9 +36,31 @@ def build_suite(n=100):
     return [JA_SENTENCES[i % len(JA_SENTENCES)] for i in range(n)]
 
 
+def _install_watchdog(result_holder):
+    """Emit a degraded JSON line if the (tunneled) device hangs the run."""
+    import os
+    import signal
+
+    budget = int(os.environ.get("GENIE_BENCH_TIMEOUT_S", "3300"))
+
+    def on_alarm(signum, frame):
+        print(json.dumps(result_holder.get("result") or {
+            "metric": "ja100_utterances_per_sec_per_chip", "value": 0.0,
+            "unit": "utt/s", "vs_baseline": 0.0,
+            "extra": {"error": f"watchdog timeout after {budget}s"}}),
+            flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(budget)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    holder = {}
+    _install_watchdog(holder)
 
     from genie_tts_tpu.config import RuntimeConfig, SoVITSConfig, T2SConfig
     from genie_tts_tpu.frontend.g2p_ja import japanese_to_phones
@@ -83,27 +105,45 @@ def main():
     lat = np.array(lat)
     audio_secs = 2 * DECODE_STEPS / 50.0  # 2 s per utterance
     utt_per_sec = len(suite) / wall
+    holder["result"] = {
+        "metric": "ja100_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3), "unit": "utt/s",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+        "extra": {"partial": True,
+                  "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 1)},
+    }
 
-    # pipelined single-client throughput (dispatch-ahead, no batching)
-    pipe_items = []
-    for s in suite:
-        ph = np.asarray(japanese_to_phones(s), np.int32)
-        pipe_items.append((ph, np.zeros((len(ph), tcfg.bert_dim), np.float32)))
-    engine.synthesize_pipelined(char, ref, pipe_items[:4], fixed_steps=DECODE_STEPS)
-    t0 = time.perf_counter()
-    engine.synthesize_pipelined(char, ref, pipe_items, fixed_steps=DECODE_STEPS)
-    pipelined_utt_per_sec = len(pipe_items) / (time.perf_counter() - t0)
-
-    # batched throughput (continuous-batching serving mode), B=8
-    phones8 = np.asarray(japanese_to_phones(suite[0]), np.int32)
-    bert8 = np.zeros((len(phones8), tcfg.bert_dim), np.float32)
-    items = [(ref, phones8, bert8)] * 8
-    engine.synthesize_batch(char, items, seed=0, fixed_steps=DECODE_STEPS)
-    t0 = time.perf_counter()
-    n_b = 4
-    for i in range(n_b):
-        engine.synthesize_batch(char, items, seed=i, fixed_steps=DECODE_STEPS)
-    batched_utt_per_sec = 8 * n_b / (time.perf_counter() - t0)
+    # Optional serving-mode metrics. Each is best-effort: the headline JSON
+    # must print even if the (tunneled) device degrades mid-run.
+    pipelined_utt_per_sec = None
+    batched_utt_per_sec = None
+    try:
+        # pipelined single-client throughput (dispatch-ahead, no batching)
+        pipe_items = []
+        for s in suite:
+            ph = np.asarray(japanese_to_phones(s), np.int32)
+            pipe_items.append((ph, np.zeros((len(ph), tcfg.bert_dim), np.float32)))
+        engine.synthesize_pipelined(char, ref, pipe_items[:4],
+                                    fixed_steps=DECODE_STEPS, window=2)
+        t0 = time.perf_counter()
+        engine.synthesize_pipelined(char, ref, pipe_items,
+                                    fixed_steps=DECODE_STEPS, window=2)
+        pipelined_utt_per_sec = len(pipe_items) / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        print(f"# pipelined stage skipped: {e}", file=sys.stderr)
+    try:
+        # batched throughput (continuous-batching serving mode), B=8
+        phones8 = np.asarray(japanese_to_phones(suite[0]), np.int32)
+        bert8 = np.zeros((len(phones8), tcfg.bert_dim), np.float32)
+        items = [(ref, phones8, bert8)] * 8
+        engine.synthesize_batch(char, items, seed=0, fixed_steps=DECODE_STEPS)
+        t0 = time.perf_counter()
+        n_b = 4
+        for i in range(n_b):
+            engine.synthesize_batch(char, items, seed=i, fixed_steps=DECODE_STEPS)
+        batched_utt_per_sec = 8 * n_b / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        print(f"# batched stage skipped: {e}", file=sys.stderr)
     result = {
         "metric": "ja100_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -114,10 +154,12 @@ def main():
             "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
             "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
             "rtf": round(float(np.median(lat)) / audio_secs, 4),
-            "pipelined_utt_per_sec": round(pipelined_utt_per_sec, 2),
-            "batched_b8_utt_per_sec": round(batched_utt_per_sec, 2),
-            "batched_rtf_per_chip": round(
-                1.0 / (batched_utt_per_sec * audio_secs), 4),
+            "pipelined_utt_per_sec": (round(pipelined_utt_per_sec, 2)
+                                      if pipelined_utt_per_sec else None),
+            "batched_b8_utt_per_sec": (round(batched_utt_per_sec, 2)
+                                       if batched_utt_per_sec else None),
+            "batched_rtf_per_chip": (round(1.0 / (batched_utt_per_sec * audio_secs), 4)
+                                     if batched_utt_per_sec else None),
             "decode_steps": DECODE_STEPS,
             "compile_s": round(compile_s, 1),
         },
