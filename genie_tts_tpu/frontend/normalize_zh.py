@@ -98,8 +98,42 @@ def _year_digits(y: str) -> str:
     return "".join(table[c] for c in y)
 
 
+from functools import lru_cache
+from importlib import resources
+
+
+@lru_cache(maxsize=1)
+def _trad2simp() -> dict:
+    """Traditional -> simplified map: bundled seed + optional GenieData
+    extension (``trad2simp.tsv``: one ``trad TAB simp`` pair per line).
+    Role of the reference's char_convert (``Normalization/char_convert.py``)."""
+    import json
+
+    with resources.files("genie_tts_tpu.data").joinpath(
+            "trad2simp_seed.json").open("r", encoding="utf-8") as f:
+        table = json.load(f)
+    from ..config import chinese_g2p_dir
+
+    ext = chinese_g2p_dir() / "trad2simp.tsv"
+    if ext.exists():
+        try:
+            for line in ext.read_text(encoding="utf-8").splitlines():
+                if "\t" in line:
+                    t, s = line.split("\t", 1)
+                    table[t] = s.strip()
+        except OSError:
+            pass
+    return table
+
+
+def traditional_to_simplified(text: str) -> str:
+    table = _trad2simp()
+    return "".join(table.get(c, c) for c in text)
+
+
 def normalize_chinese(text: str) -> str:
     text = text.replace("\n", "")
+    text = traditional_to_simplified(text)
     # dates: 2024年1月5日
     text = _RE_DATE.sub(
         lambda m: _year_digits(m.group(1)) + "年"

@@ -186,3 +186,13 @@ class TestSplitterProperties:
         for text in ["。。。あ。", "a.b.c.dddddd.", "、、、短い。x"]:
             for s in TextSplitter().split(text):
                 assert s.strip()
+
+
+class TestTradSimp:
+    def test_conversion(self):
+        from genie_tts_tpu.frontend.normalize_zh import traditional_to_simplified
+        assert traditional_to_simplified("學習中國話") == "学习中国话"
+
+    def test_in_pipeline(self):
+        out = normalize_chinese("我說了3個問題。")
+        assert "说" in out and "三个" in out and "问题" in out
