@@ -193,7 +193,8 @@ def convert_sovits(pth_sd: Dict[str, np.ndarray],
     sd = {k.removeprefix("vq_model."): v for k, v in pth_sd.items()}
 
     flow_layers = []
-    for i in (0, 2, 4, 6):  # couplings live at even indices (odd = Flip)
+    for i in (2 * j for j in range(cfg.flow_layers)):
+        # couplings live at even indices (odd slots are Flip layers)
         pre = f"flow.flows.{i}"
         flow_layers.append({
             "pre": _conv(sd, f"{pre}.pre"),

@@ -173,3 +173,115 @@ class TestFullConversion:
         assert logits.shape == (1, 1025)
         toks = t2s_model.extract_prompt_tokens(params, jnp.zeros((1, 6, 768)))
         assert toks.shape == (1, 3)
+
+
+class TestSoVITSConversion:
+    """convert_sovits: GPT-SoVITS-named state dict -> runnable synthesizer."""
+
+    CFG = SoVITSConfig(
+        spec_channels=33, inter_channels=16, hidden_channels=16,
+        filter_channels=32, n_heads=2, n_layers=2, kernel_size=3,
+        mrte_channels=16, ssl_dim=24, vq_codes=20, vq_dim=24, gin_channels=16,
+        flow_layers=2, wn_layers=2, wn_kernel=5,
+        upsample_rates=(2, 2), upsample_kernels=(4, 4), upsample_initial=32,
+        resblock_kernels=(3,), resblock_dilations=((1, 3),),
+        n_fft=64, hop_length=4, win_length=64,
+    )
+
+    def _torch_sd(self):
+        g = torch.Generator().manual_seed(0)
+        sd = {}
+
+        def t(key, *shape):
+            sd[key] = torch.randn(*shape, generator=g).numpy() * 0.1
+
+        def conv(key, cout, cin, k):
+            t(f"{key}.weight", cout, cin, k)
+            t(f"{key}.bias", cout)
+
+        def wn(key, cout, cin, k):
+            t(f"{key}.weight_v", cout, cin, k)
+            sd[f"{key}.weight_g"] = np.abs(
+                torch.randn(cout, 1, 1, generator=g).numpy()) + 0.5
+            t(f"{key}.bias", cout)
+
+        C, F, H = 16, 32, 2
+        cfg = self.CFG
+        t("quantizer.vq.layers.0._codebook.embed", cfg.vq_codes, cfg.vq_dim)
+        conv("enc_p.ssl_proj", C, cfg.vq_dim, 1)
+        t("enc_p.text_embedding.weight", 732, C)
+        for enc, n in (("encoder_ssl", 1), ("encoder_text", 2), ("encoder2", 1)):
+            for i in range(n):
+                for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+                    conv(f"enc_p.{enc}.attn_layers.{i}.{nm}", C, C, 1)
+                t(f"enc_p.{enc}.attn_layers.{i}.emb_rel_k", 1, 9, C // H)
+                t(f"enc_p.{enc}.attn_layers.{i}.emb_rel_v", 1, 9, C // H)
+                for ln_i in (1, 2):
+                    t(f"enc_p.{enc}.norm_layers_{ln_i}.{i}.gamma", C)
+                    t(f"enc_p.{enc}.norm_layers_{ln_i}.{i}.beta", C)
+                conv(f"enc_p.{enc}.ffn_layers.{i}.conv_1", F, C, 3)
+                conv(f"enc_p.{enc}.ffn_layers.{i}.conv_2", C, F, 3)
+        for nm, cout, cin in (("c_pre", cfg.mrte_channels, C),
+                              ("text_pre", cfg.mrte_channels, C),
+                              ("c_post", C, cfg.mrte_channels)):
+            conv(f"enc_p.mrte.{nm}", cout, cin, 1)
+        for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            conv(f"enc_p.mrte.cross_attention.{nm}", cfg.mrte_channels,
+                 cfg.mrte_channels, 1)
+        conv("enc_p.proj", 2 * cfg.inter_channels, C, 1)
+        half = cfg.inter_channels // 2
+        for i in (0, 2):
+            conv(f"flow.flows.{i}.pre", C, half, 1)
+            conv(f"flow.flows.{i}.post", half, C, 1)
+            wn(f"flow.flows.{i}.enc.cond_layer",
+               2 * C * cfg.wn_layers, cfg.gin_channels, 1)
+            for j in range(cfg.wn_layers):
+                wn(f"flow.flows.{i}.enc.in_layers.{j}", 2 * C, C, 5)
+                co = 2 * C if j < cfg.wn_layers - 1 else C
+                wn(f"flow.flows.{i}.enc.res_skip_layers.{j}", co, C, 1)
+        conv("dec.conv_pre", cfg.upsample_initial, cfg.inter_channels, 7)
+        conv("dec.cond", cfg.upsample_initial, cfg.gin_channels, 1)
+        ch = cfg.upsample_initial
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+            sd[f"dec.ups.{i}.weight_v"] = torch.randn(ch, ch // 2, k, generator=g).numpy() * 0.1
+            sd[f"dec.ups.{i}.weight_g"] = np.abs(torch.randn(ch, 1, 1, generator=g).numpy()) + 0.5
+            t(f"dec.ups.{i}.bias", ch // 2)
+            ch //= 2
+            for d in range(2):
+                wn(f"dec.resblocks.{i}.convs1.{d}", ch, ch, 3)
+                wn(f"dec.resblocks.{i}.convs2.{d}", ch, ch, 3)
+        t("dec.conv_post.weight", 1, ch, 7)
+        # ref_enc (MelStyleEncoder)
+        for nm, o, i_ in (("spectral.0.fc", 128, self.CFG.spec_channels),
+                          ("spectral.3.fc", 128, 128), ("fc.fc", cfg.gin_channels, 128)):
+            t(f"ref_enc.{nm}.weight", o, i_)
+            t(f"ref_enc.{nm}.bias", o)
+        for i in range(2):
+            conv(f"ref_enc.temporal.{i}.conv1.conv", 256, 128, 5)
+        for nm in ("w_qs", "w_ks", "w_vs", "fc"):
+            t(f"ref_enc.slf_attn.{nm}.weight", 128, 128)
+            t(f"ref_enc.slf_attn.{nm}.bias", 128)
+        return sd
+
+    def test_convert_and_synthesize(self):
+        from genie_tts_tpu.models import sovits as sovits_model
+
+        params = tc.convert_sovits(self._torch_sd(), self.CFG)
+        params = jax.tree.map(jnp.asarray, params)
+        assert "ref_enc" in params
+        audio = sovits_model.synthesize(
+            params, self.CFG, jax.random.PRNGKey(0),
+            jnp.zeros((1, 6), jnp.int32), jnp.array([6]),
+            jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+            jnp.zeros((1, self.CFG.gin_channels, 1)),
+            jnp.zeros((1, self.CFG.mrte_channels, 1)))
+        assert audio.shape == (1, 2 * 6 * 4)
+        assert np.isfinite(np.asarray(audio)).all()
+
+    def test_ref_enc_runs(self):
+        from genie_tts_tpu.models import sovits as sovits_model
+
+        params = jax.tree.map(jnp.asarray, tc.convert_sovits(self._torch_sd(), self.CFG))
+        spec = jnp.zeros((1, 8, self.CFG.spec_channels))
+        ge = sovits_model.reference_embedding(params, self.CFG, spec, jnp.array([8]))
+        assert ge.shape == (1, self.CFG.gin_channels, 1)
