@@ -283,13 +283,18 @@ def convert_character(
     output_dir: Union[str, Path],
     language: str = "Japanese",
     version: Optional[str] = None,
+    t2s_cfg: Optional[T2SConfig] = None,
+    sovits_cfg: Optional[SoVITSConfig] = None,
 ) -> str:
     """Full conversion: (.ckpt, .pth) -> character checkpoint directory.
 
     Capability parity with ``genie.convert_to_onnx``
     (``/root/reference/src/genie_tts/Internal.py:326-357``), emitting JAX
-    checkpoints instead of ONNX graphs.
+    checkpoints instead of ONNX graphs. Non-default model configs are
+    recorded in config.json so the model manager reconstructs them.
     """
+    import dataclasses
+
     from .io import save_character_config, save_params
 
     version = version or detect_version(pth_path)
@@ -298,10 +303,31 @@ def convert_character(
     try:
         ckpt_sd = load_torch_ckpt(ckpt_path)
         pth_sd = load_torch_pth(pth_path)
-        cfg = SoVITSConfig(version=version)
-        save_params(convert_t2s(ckpt_sd, pth_sd), out / "t2s.safetensors")
-        save_params(convert_sovits(pth_sd, cfg), out / "vits.safetensors")
-        save_character_config(out / "config.json", version=version, language=language)
+        tcfg = t2s_cfg or T2SConfig()
+        vcfg = sovits_cfg or SoVITSConfig(
+            version=version,
+            gin_channels=1024 if version == "v2ProPlus" else 512)
+        save_params(convert_t2s(ckpt_sd, pth_sd, tcfg), out / "t2s.safetensors")
+        save_params(convert_sovits(pth_sd, vcfg), out / "vits.safetensors")
+        if version == "v2ProPlus" and any(k.startswith("prompt_encoder.")
+                                          or k.startswith("ref_enc.") for k in pth_sd):
+            # v2pp checkpoints may carry the prompt encoder alongside
+            from ..models.prompt_encoder import convert_from_torch
+
+            pe_sd = {k.removeprefix("prompt_encoder."): v for k, v in pth_sd.items()}
+            try:
+                save_params(convert_from_torch(pe_sd),
+                            out / "prompt_encoder.safetensors")
+            except KeyError:
+                logger.warning("prompt-encoder weights incomplete; convert "
+                               "them separately")
+        extra = {}
+        if t2s_cfg is not None:
+            extra["t2s"] = dataclasses.asdict(t2s_cfg)
+        if sovits_cfg is not None:
+            extra["sovits"] = dataclasses.asdict(sovits_cfg)
+        save_character_config(out / "config.json", version=version,
+                              language=language, extra=extra)
     except Exception:
         # reference behavior: remove partial output on failure
         import shutil

@@ -285,3 +285,68 @@ class TestSoVITSConversion:
         spec = jnp.zeros((1, 8, self.CFG.spec_channels))
         ge = sovits_model.reference_embedding(params, self.CFG, spec, jnp.array([8]))
         assert ge.shape == (1, self.CFG.gin_channels, 1)
+
+
+class TestConvertCharacterDriver:
+    """Full driver: torch .ckpt/.pth files -> loadable character dir."""
+
+    def test_end_to_end(self, tmp_path):
+        import genie_tts_tpu as genie
+        from genie_tts_tpu.runtime.model_manager import model_manager
+
+        tcfg = T2SConfig(phoneme_vocab=732, semantic_vocab=33, embed_dim=32,
+                         num_layers=2, num_heads=4, ffn_dim=64, bert_dim=1024,
+                         ssl_dim=24, eos_id=32, max_decode_steps=8)
+        vcfg = TestSoVITSConversion.CFG
+
+        g = torch.Generator().manual_seed(1)
+        ckpt_sd = {}
+        def t2(key, *shape):
+            ckpt_sd[f"model.{key}"] = torch.randn(*shape, generator=g) * 0.1
+        t2("ar_text_embedding.word_embeddings.weight", 732, 32)
+        t2("ar_audio_embedding.word_embeddings.weight", 33, 32)
+        t2("ar_text_position.alpha", 1)
+        t2("ar_audio_position.alpha", 1)
+        t2("bert_proj.weight", 32, 1024); t2("bert_proj.bias", 32)
+        t2("ar_predict_layer.weight", 33, 32)
+        for i in range(2):
+            p = f"h.layers.{i}"
+            t2(f"{p}.self_attn.in_proj_weight", 96, 32)
+            t2(f"{p}.self_attn.in_proj_bias", 96)
+            t2(f"{p}.self_attn.out_proj.weight", 32, 32)
+            t2(f"{p}.self_attn.out_proj.bias", 32)
+            t2(f"{p}.linear1.weight", 64, 32); t2(f"{p}.linear1.bias", 64)
+            t2(f"{p}.linear2.weight", 32, 64); t2(f"{p}.linear2.bias", 32)
+            t2(f"{p}.norm1.weight", 32); t2(f"{p}.norm1.bias", 32)
+            t2(f"{p}.norm2.weight", 32); t2(f"{p}.norm2.bias", 32)
+        ckpt_path = tmp_path / "model.ckpt"
+        torch.save({"weight": ckpt_sd}, ckpt_path)
+
+        pth_sd = {k: torch.from_numpy(np.asarray(v))
+                  for k, v in TestSoVITSConversion()._torch_sd().items()}
+        pth_sd["ssl_proj.weight"] = torch.randn(24, 24, 2, generator=g) * 0.1
+        pth_sd["ssl_proj.bias"] = torch.randn(24, generator=g) * 0.1
+        pth_path = tmp_path / "model.pth"
+        torch.save({"weight": pth_sd}, pth_path)
+
+        out_dir = tmp_path / "converted"
+        tc.convert_character(ckpt_path, pth_path, out_dir, language="ja",
+                             version="v2", t2s_cfg=tcfg, sovits_cfg=vcfg)
+        assert (out_dir / "t2s.safetensors").exists()
+        assert (out_dir / "config.json").exists()
+
+        genie.load_character("converted_tiny", out_dir, "ja")
+        model = model_manager.get("converted_tiny")
+        assert model is not None
+        assert model.t2s_cfg.num_layers == 2  # config round-tripped
+        genie.unload_character("converted_tiny")
+
+    def test_failure_cleans_output(self, tmp_path):
+        bad_ckpt = tmp_path / "bad.ckpt"
+        torch.save({"weight": {}}, bad_ckpt)
+        bad_pth = tmp_path / "bad.pth"
+        torch.save({"weight": {}}, bad_pth)
+        out = tmp_path / "out"
+        with pytest.raises(KeyError):
+            tc.convert_character(bad_ckpt, bad_pth, out, version="v2")
+        assert not out.exists()  # reference cleanup-on-error behavior
