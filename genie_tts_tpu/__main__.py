@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     p.add_argument("--pth", required=True, help="SoVITS .pth path")
     p.add_argument("--out", required=True, help="output character dir")
     p.add_argument("--lang", default="ja")
+    p.add_argument("--version", choices=["v2", "v2ProPlus"], default=None,
+                   help="model version (default: auto-detect from keys)")
 
     p = sub.add_parser("serve", help="start the HTTP server")
     p.add_argument("--host", default="127.0.0.1")
@@ -53,7 +55,10 @@ def main(argv=None) -> int:
                   save_path=args.out)
         print(f"wrote {args.out}")
     elif args.cmd == "convert":
-        genie.convert_model(args.ckpt, args.pth, args.out, language=args.lang)
+        from genie_tts_tpu.convert.torch_convert import convert_character
+
+        convert_character(args.ckpt, args.pth, args.out, language=args.lang,
+                          version=args.version)
         print(f"converted -> {args.out}")
     elif args.cmd == "serve":
         genie.start_server(host=args.host, port=args.port)

@@ -84,14 +84,19 @@ def unload_character(character_name: str) -> None:
 def set_reference_audio(character_name: str,
                         audio_path: Union[str, PathLike],
                         audio_text: str,
-                        language: Optional[str] = None) -> None:
-    """Register the voice-cloning reference clip for a character."""
+                        language: Optional[str] = None) -> bool:
+    """Register the voice-cloning reference clip for a character.
+
+    Returns False (after logging) for unsupported formats — log-and-continue
+    parity with the reference (``Internal.py:163-168``) — so programmatic
+    callers (HTTP server) can still signal the failure.
+    """
     audio_path = os.fspath(audio_path)
     ext = os.path.splitext(audio_path)[1].lower()
     if ext not in SUPPORTED_AUDIO_EXTS:
         logger.error("Audio format '%s' not supported (supported: %s)",
                      ext, sorted(SUPPORTED_AUDIO_EXTS))
-        return
+        return False
     if language is None:
         model = model_manager.get(character_name)
         if model is None:
@@ -106,6 +111,7 @@ def set_reference_audio(character_name: str,
     # eagerly warm the clip cache (decodes audio, runs G2P + HuBERT)
     reference_audio_cache.get_clip(audio_path, audio_text, language,
                                    hubert_fn=_hubert_fn())
+    return True
 
 
 def clear_reference_audio_cache() -> None:

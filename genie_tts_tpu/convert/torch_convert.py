@@ -277,6 +277,17 @@ def detect_version(pth_path: Union[str, Path]) -> str:
     return "v2ProPlus" if size > V2PP_PTH_THRESHOLD_BYTES else "v2"
 
 
+def detect_version_from_keys(pth_sd: Dict[str, np.ndarray]) -> Optional[str]:
+    """Key-based detection (robust to file-size variation): V2ProPlus
+    checkpoints carry the speaker-verification projection weights."""
+    keys = {k.removeprefix("vq_model.") for k in pth_sd}
+    if any(k.startswith(("sv_emb.", "ge_to512.")) for k in keys):
+        return "v2ProPlus"
+    if any(k.startswith("ref_enc.") for k in keys):
+        return "v2"
+    return None
+
+
 def convert_character(
     ckpt_path: Union[str, Path],
     pth_path: Union[str, Path],
@@ -297,12 +308,14 @@ def convert_character(
 
     from .io import save_character_config, save_params
 
-    version = version or detect_version(pth_path)
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     try:
         ckpt_sd = load_torch_ckpt(ckpt_path)
         pth_sd = load_torch_pth(pth_path)
+        if version is None:
+            version = (detect_version_from_keys(pth_sd)
+                       or detect_version(pth_path))
         tcfg = t2s_cfg or T2SConfig()
         vcfg = sovits_cfg or SoVITSConfig(
             version=version,

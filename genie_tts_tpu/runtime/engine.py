@@ -124,6 +124,16 @@ class TTSEngine:
 
     def __init__(self, runtime_cfg: Optional[RuntimeConfig] = None):
         self.cfg = runtime_cfg or RuntimeConfig()
+        import os
+
+        # GENIE_PLATFORM pins the JAX backend (the axon TPU plugin ignores
+        # the standard JAX_PLATFORMS env var)
+        platform = os.environ.get("GENIE_PLATFORM")
+        if platform:
+            try:
+                jax.config.update("jax_platforms", platform)
+            except RuntimeError:
+                logger.warning("backend already initialized; GENIE_PLATFORM ignored")
         _enable_persistent_compile_cache()
         self._lock = threading.Lock()
         self._rng = np.random.default_rng(0)
@@ -348,6 +358,10 @@ class TTSEngine:
         streaming): yields ~``vocode_chunk``-frame pieces as the chunked
         HiFi-GAN completes them. First chunk latency ~= decode + one vocode
         chunk, instead of the whole utterance."""
+        import time as _time
+
+        t_start = _time.perf_counter()
+        first_chunk_at = None
         scfg = sampling or SamplingConfig()
         tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
         if seed is None:
@@ -404,7 +418,13 @@ class TTSEngine:
             n_frames = min(chunk, total_valid - start)
             piece = np.asarray(a[0, off: off + n_frames * hop], np.float32)
             emitted += n_frames
+            if first_chunk_at is None:
+                first_chunk_at = _time.perf_counter()
+                metrics.observe("ttfa", first_chunk_at - t_start)
             yield piece
+        metrics.incr("utterances")
+        metrics.observe("synthesize_utterance", _time.perf_counter() - t_start)
+        metrics.observe("audio_seconds", emitted * hop / vcfg.sample_rate)
 
     def synthesize_pipelined(
         self,

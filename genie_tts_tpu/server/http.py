@@ -103,10 +103,12 @@ class GenieHandler(BaseHTTPRequestHandler):
                                    payload["language"])
                 return self._reply(200, {"status": "ok"})
             if self.path == "/set_reference_audio":
-                api.set_reference_audio(payload["character_name"],
-                                        payload["audio_path"],
-                                        payload["audio_text"],
-                                        payload.get("language"))
+                ok = api.set_reference_audio(payload["character_name"],
+                                             payload["audio_path"],
+                                             payload["audio_text"],
+                                             payload.get("language"))
+                if not ok:
+                    return self._reply(400, {"detail": "unsupported audio format"})
                 return self._reply(200, {"status": "ok"})
             if self.path == "/unload_character":
                 api.unload_character(payload["character_name"])
