@@ -23,7 +23,7 @@ from .ops.sampling import SamplingConfig
 from .runtime.engine import TTSEngine
 from .runtime.model_manager import model_manager
 from .runtime.reference_audio import reference_audio_cache
-from .runtime.session import tts_session
+from .runtime.session import session_registry, tts_session
 
 logger = logging.getLogger(__name__)
 
@@ -199,11 +199,12 @@ async def tts_async(character_name: str,
         loop.call_soon_threadsafe(stream_q.put_nowait, chunk)
 
     synth, synth_stream = _make_synth_fn(character_name, sampling)
-    tts_session.start_session(synth, play=play, split=split_sentence,
-                              save_path=save_path, chunk_callback=chunk_cb,
-                              synth_stream_fn=synth_stream)
-    tts_session.feed(text)
-    tts_session.end_session()
+    session = session_registry.create()  # isolated: concurrent calls don't interleave
+    session.start_session(synth, play=play, split=split_sentence,
+                          save_path=save_path, chunk_callback=chunk_cb,
+                          synth_stream_fn=synth_stream)
+    session.feed(text)
+    session.end_session()
     while True:
         chunk = await stream_q.get()
         if chunk is None:
@@ -213,10 +214,12 @@ async def tts_async(character_name: str,
 
 def stop() -> None:
     tts_session.stop()
+    session_registry.stop_all()
 
 
 def wait_for_playback_done() -> None:
     tts_session.wait_for_playback_done()
+    session_registry.wait_all()
 
 
 # ---------------------------------------------------------------------------

@@ -205,4 +205,42 @@ def _drain(q: "queue.Queue") -> None:
         pass
 
 
+class SessionRegistry:
+    """Tracks live sessions so ``stop()`` reaches all of them.
+
+    Unlike the reference's single global player (``Core/TTSPlayer.py:241``,
+    whose shared context races across concurrent requests — SURVEY §5),
+    every request gets its own session; the registry only serves the
+    global stop/wait surface.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._sessions: List[TTSSession] = []
+
+    def create(self) -> TTSSession:
+        s = TTSSession()
+        with self._lock:
+            self._sessions = [x for x in self._sessions if not x._tts_done.is_set()
+                              or x is s] + [s]
+        return s
+
+    def stop_all(self) -> None:
+        with self._lock:
+            sessions = list(self._sessions)
+        for s in sessions:
+            s.stop()
+
+    def wait_all(self) -> None:
+        with self._lock:
+            sessions = list(self._sessions)
+        for s in sessions:
+            s.wait_for_playback_done()
+
+
+session_registry = SessionRegistry()
+
+# Default shared session: kept for the simple sequential-use API surface
+# (genie.tts from one thread, reference-compatible); concurrent paths
+# (server requests, tts_async) create isolated sessions via the registry.
 tts_session = TTSSession()

@@ -31,14 +31,17 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
         chunk_q.put(None)
         return
     try:
+        from ..runtime.session import session_registry
+
         synth, synth_stream = api._make_synth_fn(character)
-        api.tts_session.start_session(
+        session = session_registry.create()  # per-request isolation
+        session.start_session(
             synth, play=False, split=split,
             chunk_callback=lambda c: chunk_q.put(c),
             synth_stream_fn=synth_stream)
-        api.tts_session.feed(text)
-        api.tts_session.end_session()
-        api.tts_session.wait_for_tts_completion()
+        session.feed(text)
+        session.end_session()
+        session.wait_for_tts_completion()
     except Exception as e:  # surfaced as HTTP 500 by the handler
         logger.exception("tts stream failed")
         chunk_q.put(e)
