@@ -85,7 +85,6 @@ class ContinuousBatcher:
         except queue.Empty:
             return []
         batch = [first]
-        deadline = threading.Event()
         # same-character requests arriving within the window join the batch
         t_end = self.window_s
         import time
@@ -104,7 +103,6 @@ class ContinuousBatcher:
             else:  # different character: run it in the next batch
                 self._q.put(nxt)
                 break
-        del deadline
         return batch
 
     def _loop(self) -> None:

@@ -57,6 +57,7 @@ class TTSSession:
         self._split = True
         self._save_path: Optional[str] = None
         self._chunk_cb: Optional[Callable[[Optional[bytes]], None]] = None
+        self._synth_stream_fn = None
         self._session_chunks: List[np.ndarray] = []
 
     # -- lifecycle --------------------------------------------------------
@@ -136,7 +137,7 @@ class TTSSession:
             if self._stop_event.is_set():
                 continue
             try:
-                stream_fn = getattr(self, "_synth_stream_fn", None)
+                stream_fn = self._synth_stream_fn
                 if self._chunk_cb is not None and stream_fn is not None:
                     # intra-utterance streaming: emit vocoder chunks live
                     for piece in stream_fn(item):

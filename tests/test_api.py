@@ -193,3 +193,37 @@ class TestWebUI:
         r = urllib.request.urlopen("http://127.0.0.1:18321/", timeout=10)
         assert r.status == 200
         assert b"genie-tts-tpu" in r.read()
+
+
+class TestConcurrentServer:
+    def test_two_simultaneous_tts(self, server, char_dir, ref_wav):
+        import threading
+        self._post_helper_results = {}
+
+        def post(path, payload, timeout=240):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:18321{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            return urllib.request.urlopen(req, timeout=timeout)
+
+        post("/load_character", {"character_name": "cc", "model_dir": str(char_dir),
+                                 "language": "ja"})
+        post("/set_reference_audio", {"character_name": "cc",
+                                      "audio_path": str(ref_wav),
+                                      "audio_text": "こんにちは", "language": "ja"})
+        results = {}
+
+        def worker(i):
+            r = post("/tts", {"character_name": "cc",
+                              "text": f"これは{i}ばんめのテスト。"})
+            results[i] = (r.status, len(r.read()))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 2
+        for status, n in results.values():
+            assert status == 200 and n > 0 and n % 2 == 0
