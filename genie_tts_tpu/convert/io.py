@@ -73,7 +73,12 @@ def save_params(params, path: Union[str, Path]) -> None:
     out = {}
     for k, v in flat.items():
         v = np.asarray(v)  # ml_dtypes handles bf16 -> fp16/fp32 casts
-        out[k] = v.astype(np.float32 if _wants_fp32(k) else np.float16)
+        # order="C" is load-bearing: converter weights are often transposed
+        # views (F-ordered), astype's default order="K" would keep that
+        # layout, and safetensors serializes the raw buffer assuming C
+        # order — silently scrambling the matrix.
+        out[k] = v.astype(np.float32 if _wants_fp32(k) else np.float16,
+                          order="C")
     save_file(out, str(path))
 
 

@@ -228,15 +228,24 @@ def word_to_phones(word: str, prev: Optional[str] = None) -> List[str]:
 
 
 def _word_to_phones_nohg(word: str) -> List[str]:
+    """Fallback chain mirroring the reference ``_query_word``
+    (``EnglishG2P.py:255-279``): dict -> possessive -> hyphen ->
+    corpus word segmentation -> neural GRU -> rule LTS."""
     d = _load_dict()
     w = word.lower()
     if w in d:
         return list(d[w])
-    # possessive / plural strip: word's -> word + Z/S
-    if w.endswith("'s") and w[:-2] in d:
-        base = list(d[w[:-2]])
-        tail = "S" if base and base[-1] in {"P", "T", "K", "F", "TH"} else "Z"
-        return base + [tail]
+    # possessive: word's -> word + AH0 Z / S / Z by final phone class
+    if w.endswith("'s") and len(w) > 2:
+        base = _word_to_phones_nohg(w[:-2])
+        if base:
+            last = base[-1]
+            if last in {"S", "Z", "SH", "ZH", "CH", "JH"}:
+                return base + ["AH0", "Z"]
+            if last in {"P", "T", "K", "F", "TH"}:
+                return base + ["S"]
+            return base + ["Z"]
+    # plural strip (dictionary-backed only)
     if w.endswith("s") and w[:-1] in d:
         base = list(d[w[:-1]])
         tail = "S" if base and base[-1] in {"P", "T", "K", "F", "TH"} else "Z"
@@ -248,6 +257,26 @@ def _word_to_phones_nohg(word: str) -> List[str]:
             if part:
                 out.extend(word_to_phones(part))
         return out
+    # concatenated words: corpus-statistics segmentation (helloworld)
+    from .g2p_en_nn import neural_g2p, word_segmenter
+
+    if len(w) > 3 and w.isalpha():
+        seg = word_segmenter()
+        if seg is not None:
+            parts = seg.segment(w)
+            if len(parts) > 1 and "".join(parts) == w:
+                out = []
+                for part in parts:
+                    out.extend(_word_to_phones_nohg(part))
+                if out:
+                    return out
+    # neural OOV model (the reference's NumPy GRU seq2seq)
+    nn = neural_g2p()
+    if nn is not None:
+        pron = [("UNK" if p == "<unk>" else p) for p in nn.predict(w)
+                if p not in {"<pad>", "<s>", "</s>", " ", "UW"}]
+        if pron:
+            return pron
     return rule_g2p(w)
 
 

@@ -127,9 +127,34 @@ def _to_hiragana(ch: str) -> str:
 _warned_kanji = False
 
 
+class UnreadableJapaneseError(ValueError):
+    """Raised when the kana fallback meets kanji it cannot read.
+
+    The reference always has pyopenjtalk (``JapaneseG2P.py:6``) so this
+    cannot happen there; silently dropping kanji would synthesize wrong
+    audio, so without pyopenjtalk the failure must be loud. Servers map
+    this to HTTP 400."""
+
+
+def _is_kanji(ch: str) -> bool:
+    cp = ord(ch)
+    return (0x3400 <= cp <= 0x4DBF or 0x4E00 <= cp <= 0x9FFF
+            or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2FA1F)
+
+
 def kana_to_phones(text: str) -> List[str]:
-    """Transliterate a kana run to OpenJTalk-style phones (no prosody)."""
+    """Transliterate a kana run to OpenJTalk-style phones (no prosody).
+
+    Raises :class:`UnreadableJapaneseError` on kanji (needs pyopenjtalk);
+    unknown non-ideograph symbols are dropped with a one-time warning."""
     global _warned_kanji
+    kanji = sorted({c for c in text if _is_kanji(c)})
+    if kanji:
+        raise UnreadableJapaneseError(
+            f"Japanese text contains kanji {''.join(kanji[:10])!r} but "
+            "pyopenjtalk is not installed, so readings cannot be derived. "
+            "Install pyopenjtalk-plus for full Japanese support, or supply "
+            "kana/romaji text.")
     for src, dst in _KANA_LEXICAL:
         if src in text:
             text = text.replace(src, dst)

@@ -274,7 +274,10 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
                           cfg.resblock_kernels[j], cfg.resblock_dilations[j], mask)
             acc = r if acc is None else acc + r
         x = acc / n_k
-    x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+    # final activation uses the torch default slope 0.01, not LRELU_SLOPE —
+    # verified against the reference graph (vits_fp32.onnx node
+    # /vq_model/dec/LeakyRelu_5, alpha=0.01; HiFi-GAN's F.leaky_relu(x))
+    x = jax.nn.leaky_relu(x, 0.01)
     x = conv1d_ncw(p["conv_post"], x, padding=3) * mask
     return jnp.tanh(x.astype(jnp.float32))[:, 0, :]
 

@@ -135,8 +135,15 @@ def conv_transpose1d_ncw(params, x: jnp.ndarray, stride: int, padding: int = 0) 
 
 
 def sine_position_table(max_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Standard sinusoidal position table [max_len, dim]."""
-    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    """Sinusoidal position table [max_len, dim], positions 1..max_len.
+
+    GPT-SoVITS's SinePositionalEmbedding builds positions with
+    cumsum(ones) — i.e. 1-based — verified against the reference encoder
+    graph (t2s_encoder_fp32.onnx: ConstantOfShape -> CumSum feeding
+    Sin/Cos; x_scale constant = 1.0, so no sqrt(d) input scaling).
+    Row i of this table is the embedding of (1-based) position i+1.
+    """
+    pos = jnp.arange(1, max_len + 1, dtype=jnp.float32)[:, None]
     div = jnp.exp(
         jnp.arange(0, dim, 2, dtype=jnp.float32) * (-jnp.log(10000.0) / dim)
     )

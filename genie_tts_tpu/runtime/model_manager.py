@@ -71,8 +71,18 @@ class ModelManager:
 
     # -- characters -------------------------------------------------------
 
-    def load_character(self, name: str, model_dir: str, language: str) -> CharacterModel:
-        from ..convert.io import load_params
+    def load_character(self, name: str, model_dir: str, language: str,
+                       compute_dtype=None) -> CharacterModel:
+        """``compute_dtype``: device dtype for non-sensitive weights
+        (default bf16 — the TPU serving dtype; fp32 for CPU parity runs)."""
+        import jax.numpy as jnp
+
+        from ..convert.io import load_params as _load_params
+
+        dtype = compute_dtype or jnp.bfloat16
+
+        def load_params(p):
+            return _load_params(p, compute_dtype=dtype)
 
         cfg = check_model_dir(model_dir)
         version = cfg.get("version", "v2")

@@ -20,7 +20,7 @@ from ..config import RuntimeConfig
 from ..frontend.dispatcher import get_phones_and_bert
 from ..utils.native import resample as resample_poly
 from ..utils.lru import LRUCache
-from ..utils.wavio import read_wav
+from ..utils.wavio import read_audio
 from .engine import CharacterModel, ReferenceFeatures, TTSEngine
 
 logger = logging.getLogger(__name__)
@@ -38,7 +38,7 @@ class ReferenceClip:
         self.text = text
         self.language = language
 
-        audio, sr = read_wav(audio_path)
+        audio, sr = read_audio(audio_path)
         dur = len(audio) / sr
         if not (MIN_REF_S <= dur <= MAX_REF_S):
             logger.warning(

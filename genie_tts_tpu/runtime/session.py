@@ -59,6 +59,7 @@ class TTSSession:
         self._chunk_cb: Optional[Callable[[Optional[bytes]], None]] = None
         self._synth_stream_fn = None
         self._session_chunks: List[np.ndarray] = []
+        self.first_error: Optional[Exception] = None
 
     # -- lifecycle --------------------------------------------------------
 
@@ -78,6 +79,7 @@ class TTSSession:
         with self._api_lock:
             self._stop_event.clear()
             self._tts_done.clear()
+            self.first_error: Optional[Exception] = None
             self._synth_fn = synth_fn
             self._synth_stream_fn = synth_stream_fn
             self._play = play and _HAS_AUDIO_OUT
@@ -146,8 +148,13 @@ class TTSSession:
                         self._emit(piece)
                     continue
                 audio = self._synth_fn(item)
-            except Exception:
+            except Exception as e:
+                # per-sentence isolation (reference TTSPlayer.py:109-114);
+                # the first failure is kept so callers (HTTP /tts) can
+                # report it when the whole session produced nothing
                 logger.exception("synthesis failed for %r", item)
+                if getattr(self, "first_error", None) is None:
+                    self.first_error = e
                 continue
             if audio is None or self._stop_event.is_set():
                 continue

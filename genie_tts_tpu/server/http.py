@@ -35,13 +35,25 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
 
         synth, synth_stream = api._make_synth_fn(character)
         session = session_registry.create()  # per-request isolation
+        emitted = 0
+
+        def cb(c):
+            nonlocal emitted
+            if c is None:
+                return  # stream termination pushed below
+            emitted += 1
+            chunk_q.put(c)
+
         session.start_session(
-            synth, play=False, split=split,
-            chunk_callback=lambda c: chunk_q.put(c),
+            synth, play=False, split=split, chunk_callback=cb,
             synth_stream_fn=synth_stream)
         session.feed(text)
         session.end_session()
         session.wait_for_tts_completion()
+        if emitted == 0 and session.first_error is not None:
+            # the whole session failed: report instead of an empty 200
+            chunk_q.put(session.first_error)
+        chunk_q.put(None)
     except Exception as e:  # surfaced as HTTP 500 by the handler
         logger.exception("tts stream failed")
         chunk_q.put(e)
@@ -150,7 +162,11 @@ class GenieHandler(BaseHTTPRequestHandler):
         first = chunk_q.get()
         if isinstance(first, Exception):
             chunk_q.get()  # consume the trailing None
-            return self._reply(500, {"detail": str(first)})
+            # client errors (unreadable text, bad inputs) -> 400;
+            # engine failures -> 500
+            code = 400 if isinstance(
+                first, (ValueError, KeyError, FileNotFoundError)) else 500
+            return self._reply(code, {"detail": str(first)})
 
         self.send_response(200)
         self.send_header("Content-Type", "audio/wav")

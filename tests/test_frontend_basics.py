@@ -114,7 +114,9 @@ class TestJapaneseG2P:
         assert phones[0] == "k"
 
     def test_ids_all_valid(self):
-        ids = japanese_to_phones("こんにちは、元気？")
+        # kana only: kanji without pyopenjtalk raises (see
+        # test_audio_formats.TestKanjiFailureSurface)
+        ids = japanese_to_phones("こんにちは、げんき？")
         assert len(ids) > 0
         assert all(0 <= i < 732 for i in ids)
 
