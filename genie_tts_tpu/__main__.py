@@ -41,6 +41,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="start the HTTP server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--warmup", metavar="MODEL_DIR", default=None,
+                   help="character dir to pre-compile the full bucket "
+                        "ladder for before accepting requests")
+    p.add_argument("--warmup-lang", default="ja")
+    p.add_argument("--warmup-ref", default=None,
+                   help="reference wav for warmup (defaults to 5s silence)")
+    p.add_argument("--warmup-ref-text", default="こんにちは")
 
     sub.add_parser("download", help="download shared GenieData assets")
 
@@ -61,6 +68,23 @@ def main(argv=None) -> int:
                           version=args.version)
         print(f"converted -> {args.out}")
     elif args.cmd == "serve":
+        if args.warmup:
+            from genie_tts_tpu import api
+            from genie_tts_tpu.runtime.engine import make_random_reference
+
+            char = api.model_manager.load_character(
+                "warmup", args.warmup, args.warmup_lang)
+            if args.warmup_ref:
+                api.set_reference_audio("warmup", args.warmup_ref,
+                                        args.warmup_ref_text, args.warmup_lang)
+                ref = api.reference_audio_cache.get_features(
+                    api.engine, char,
+                    args.warmup_ref, args.warmup_ref_text, args.warmup_lang,
+                    hubert_fn=api._hubert_fn())
+            else:
+                ref = make_random_reference(char, api.engine, ref_seconds=5.0)
+            n = api.engine.warmup(char, ref, sweep=True)
+            print(f"warmup: compiled {n} graphs")
         genie.start_server(host=args.host, port=args.port)
     elif args.cmd == "download":
         genie.download_genie_data()

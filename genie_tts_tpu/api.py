@@ -122,7 +122,30 @@ def clear_reference_audio_cache() -> None:
 # Synthesis
 # ---------------------------------------------------------------------------
 
-def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = None):
+_batcher = None
+
+
+def get_batcher():
+    """Lazy global ContinuousBatcher bound to the engine (serving path)."""
+    global _batcher
+    if _batcher is None:
+        from .runtime.batcher import ContinuousBatcher
+
+        _batcher = ContinuousBatcher(
+            engine, max_batch=engine.cfg.batch_max,
+            window_ms=engine.cfg.batch_window_ms)
+    return _batcher
+
+
+def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = None,
+                   use_batcher: bool = False):
+    """Build (synth, synth_stream) for one character.
+
+    ``use_batcher``: route whole sentences through the continuous batcher
+    so concurrent requests micro-batch on the chip (the server's default
+    /tts path; BASELINE config[4]). The stream fn stays direct — it's the
+    solo intra-utterance-latency path.
+    """
     char = model_manager.get(character_name)
     if char is None:
         raise ValueError(f"Character '{character_name}' is not loaded")
@@ -140,6 +163,9 @@ def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = Non
         phones, bert = get_phones_and_bert("。" + sentence, char.language)
         if len(phones) == 0:
             return None
+        if use_batcher:
+            return get_batcher().synthesize(
+                char, feats, phones, bert, sampling=sampling)
         return engine.synthesize_utterance(
             char, feats, phones, bert, sampling=sampling)
 

@@ -125,11 +125,26 @@ class RuntimeConfig:
     prompt_buckets: Tuple[int, ...] = (128, 256, 512)
     kv_cache_len: int = 1024          # prompt (<=500) + decode (<=500) headroom
     frame_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    # batch-dimension ladder: continuous batching pads B up to a bucket so
+    # arbitrary arrival counts reuse a handful of compiled programs
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     decode_block: int = 16            # while_loop unroll block for EOS checks
     # chunked HiFi-GAN vocoding: bounded memory + streaming TTFA. Halo must
     # exceed the generator's frame-level receptive field (~14 frames).
     vocode_chunk: int = 128           # latent frames per chunk (2.56 s audio)
     vocode_halo: int = 32
+    # Serving: continuous batching of concurrent requests (HTTP /tts).
+    # The reference's only scale-out is uvicorn workers=N; here concurrent
+    # same-character sentences micro-batch onto the chip (BASELINE
+    # config[4]). GENIE_SERVE_BATCHING=0 restores solo per-request serving.
+    serve_batching: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_SERVE_BATCHING", "1").lower() not in ("0", "false", "off"))
+    batch_max: int = dataclasses.field(
+        default_factory=lambda: _env_int("GENIE_BATCH_MAX", 8))
+    batch_window_ms: float = dataclasses.field(
+        default_factory=lambda: float(
+            os.environ.get("GENIE_BATCH_WINDOW_MS", 8.0)))
     # Mesh
     dp_axis: str = "dp"
     tp_axis: str = "tp"

@@ -513,6 +513,10 @@ class TTSEngine:
             seed = int(self._rng.integers(0, 2 ** 31 - 1))
         k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
         B = len(items)
+        # pad the batch dimension to a bucket (replicated rows, outputs
+        # sliced back to B) so any arrival count hits a compiled program
+        B_pad = max(pick_bucket(B, self.cfg.batch_buckets), B)
+        items = list(items) + [items[0]] * (B_pad - B)
 
         phones_rows, bert_rows, prompt_rows, text_rows = [], [], [], []
         any_bert = False
@@ -560,11 +564,70 @@ class TTSEngine:
         return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length].astype(np.float32)
                 for i in range(B)]
 
-    def warmup(self, char: CharacterModel, ref: ReferenceFeatures) -> None:
-        """Compile the steady-state bucket set ahead of serving."""
-        phones = np.zeros(8, np.int32)
-        bert = np.zeros((8, char.t2s_cfg.bert_dim), np.float32)
-        self.synthesize_utterance(char, ref, phones, bert, seed=0)
+    def warmup(self, char: CharacterModel, ref: ReferenceFeatures,
+               sweep: bool = False) -> int:
+        """Compile the steady-state graphs ahead of serving.
+
+        ``sweep=False``: one synthesis (the smallest bucket combination).
+        ``sweep=True``: AOT-compile (``jit(...).lower().compile()``, no
+        execution) every bucket-ladder graph the serving path can hit —
+        T2S decode per phoneme bucket (with and without BERT features),
+        SoVITS latent per (frame, text) bucket, HiFi-GAN vocode windows —
+        so a cold server never stalls multi-seconds on a mid-request
+        compile. Returns the number of graphs compiled; with the
+        persistent compile cache, reruns are near-instant.
+        """
+        if not sweep:
+            phones = np.zeros(8, np.int32)
+            bert = np.zeros((8, char.t2s_cfg.bert_dim), np.float32)
+            self.synthesize_utterance(char, ref, phones, bert, seed=0)
+            return 1
+        tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
+        scfg = SamplingConfig()
+        key = jax.random.PRNGKey(0)
+        p_bucket = pick_bucket(len(ref.prompt_tokens), self.cfg.prompt_buckets)
+        prompts = jnp.zeros((1, p_bucket), jnp.int32)
+        ones = jnp.ones((1,), jnp.int32)
+        n = 0
+        use_bert = ("chinese" in char.language.lower()
+                    or "hybrid" in char.language.lower()
+                    or char.language.lower() in ("zh", "zh_en"))
+        max_steps = tcfg.max_decode_steps
+        with metrics.timer("warmup_sweep"):
+            for xb in self.cfg.phoneme_buckets:
+                berts = [None] + ([jnp.zeros((1, xb, tcfg.bert_dim),
+                                             jnp.float32)] if use_bert else [])
+                for bert in berts:
+                    self._generate_e2e.lower(
+                        char.t2s_params, tcfg, scfg, key,
+                        jnp.zeros((1, xb), jnp.int32), bert, ones,
+                        prompts, ones, max_steps=max_steps,
+                        cache_len=xb + p_bucket + max_steps,
+                        min_steps=0).compile()
+                    n += 1
+            ge = jnp.zeros((1, vcfg.gin_channels, 1), jnp.float32)
+            gm = jnp.zeros((1, vcfg.mrte_channels, 1), jnp.float32)
+            for fb in self.cfg.frame_buckets:
+                for tb in self.cfg.phoneme_buckets:
+                    self._latent.lower(
+                        char.sovits_params, vcfg, key,
+                        jnp.zeros((1, fb), jnp.int32), ones,
+                        jnp.zeros((1, tb), jnp.int32), ones,
+                        ge, gm, 0.5).compile()
+                    n += 1
+            # HiFi-GAN windows the chunked vocoder dispatches
+            chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+            widths = {2 * fb for fb in self.cfg.frame_buckets
+                      if 2 * fb <= chunk + 2 * halo}
+            widths |= {chunk + halo, chunk + 2 * halo}
+            for w in sorted(widths):
+                self._vocode.lower(
+                    char.sovits_params, vcfg,
+                    jnp.zeros((1, w, vcfg.inter_channels), jnp.float32),
+                    ge, ones).compile()
+                n += 1
+        logger.info("warmup sweep compiled %d graphs", n)
+        return n
 
 
 # ---------------------------------------------------------------------------

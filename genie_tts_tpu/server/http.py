@@ -33,7 +33,15 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
     try:
         from ..runtime.session import session_registry
 
-        synth, synth_stream = api._make_synth_fn(character)
+        # default serving path: continuous batching — concurrent requests'
+        # sentences micro-batch on the chip. "stream": true selects the
+        # solo intra-utterance streaming path (lowest TTFA, no batching).
+        want_stream = bool(payload.get("stream", False))
+        batching = api.engine.cfg.serve_batching and not want_stream
+        synth, synth_stream = api._make_synth_fn(character,
+                                                 use_batcher=batching)
+        if batching:
+            synth_stream = None  # sentence-granular chunks via the batcher
         session = session_registry.create()  # per-request isolation
         emitted = 0
 

@@ -1,0 +1,137 @@
+"""Continuous batching in the serving path (BASELINE config[4]).
+
+Concurrent /tts requests must micro-batch on the chip: the server routes
+per-sentence synthesis through the global ContinuousBatcher by default
+(GENIE_SERVE_BATCHING). Contrast: the reference serves strictly solo
+(``/root/reference/src/genie_tts/Server.py:87-141``).
+"""
+import dataclasses
+import json
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import genie_tts_tpu as genie
+from genie_tts_tpu import api
+from genie_tts_tpu.config import HubertConfig, SoVITSConfig, T2SConfig
+from genie_tts_tpu.convert.io import save_character_config, save_params
+from genie_tts_tpu.models import hubert as hubert_model
+from genie_tts_tpu.models import sovits, t2s
+from genie_tts_tpu.runtime.model_manager import model_manager
+from genie_tts_tpu.utils.metrics import metrics
+from genie_tts_tpu.utils.wavio import write_wav
+
+TCFG = T2SConfig(
+    phoneme_vocab=732, semantic_vocab=33, embed_dim=32, num_layers=2,
+    num_heads=4, ffn_dim=64, bert_dim=1024, ssl_dim=24, eos_id=32,
+    max_decode_steps=12,
+)
+VCFG = SoVITSConfig(
+    spec_channels=33, inter_channels=16, hidden_channels=16, filter_channels=32,
+    n_heads=2, n_layers=2, kernel_size=3, mrte_channels=16, ssl_dim=24,
+    vq_codes=32, vq_dim=24, gin_channels=16,
+    flow_layers=2, wn_layers=2, wn_kernel=5,
+    upsample_rates=(2, 2, 2), upsample_kernels=(4, 4, 4), upsample_initial=32,
+    resblock_kernels=(3,), resblock_dilations=((1, 3),),
+    n_fft=64, hop_length=8, win_length=64,
+)
+HCFG = HubertConfig(
+    conv_dims=(8,) * 7, embed_dim=24, num_layers=1, num_heads=2, ffn_dim=32,
+    conv_pos_kernel=8, conv_pos_groups=2,
+)
+
+PORT = 18455
+
+
+@pytest.fixture(scope="module")
+def char_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chara_b")
+    save_params(t2s.init_params(jax.random.PRNGKey(0), TCFG, jnp.float32),
+                d / "t2s.safetensors")
+    save_params(sovits.init_params(jax.random.PRNGKey(1), VCFG, jnp.float32),
+                d / "vits.safetensors")
+    save_character_config(
+        d / "config.json", version="v2", language="Japanese",
+        extra={"t2s": dataclasses.asdict(TCFG),
+               "sovits": dataclasses.asdict(VCFG)})
+    return d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def setup(tmp_path_factory, char_dir):
+    model_manager.set_hubert(
+        hubert_model.init_params(jax.random.PRNGKey(2), HCFG, jnp.float32), HCFG)
+    api._hubert_jit = None
+    ref = tmp_path_factory.mktemp("refs_b") / "ref.wav"
+    rng = np.random.default_rng(0)
+    write_wav(ref, rng.standard_normal(32000 * 2).astype(np.float32) * 0.05, 32000)
+
+    # widen the batching window so concurrent test clients always coalesce
+    api._batcher = None
+    object.__setattr__(api.engine.cfg, "serve_batching", True)
+    object.__setattr__(api.engine.cfg, "batch_window_ms", 300.0)
+
+    from genie_tts_tpu.server.http import start_server, stop_server
+
+    srv = start_server(host="127.0.0.1", port=PORT, block=False)
+    time.sleep(0.2)
+    genie.load_character("batchy", str(char_dir), "Japanese")
+    genie.set_reference_audio("batchy", str(ref), "こんにちは", "Japanese")
+    yield
+    stop_server()
+    api._batcher = None
+
+
+def _post(path, payload, timeout=300):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_concurrent_tts_batches_on_chip():
+    metrics.reset()
+    # first request alone compiles the batch graphs
+    r = _post("/tts", {"character_name": "batchy", "text": "こんにちは。",
+                       "split_sentence": False})
+    assert len(r.read()) > 0
+
+    results = [None] * 4
+    def worker(i):
+        r = _post("/tts", {"character_name": "batchy",
+                           "text": "こんにちは、せかい。",
+                           "split_sentence": False})
+        results[i] = r.read()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(r is not None and len(r) > 0 for r in results)
+
+    sizes = list(metrics._stats["batch_size"].samples)
+    assert sizes, "batcher never ran"
+    assert max(sizes) >= 2, f"requests never coalesced: {sizes}"
+
+
+def test_stream_flag_bypasses_batcher():
+    r = _post("/tts", {"character_name": "batchy", "text": "やあ。",
+                       "split_sentence": False, "stream": True})
+    assert len(r.read()) > 0
+
+
+def test_warmup_sweep_compiles():
+    from genie_tts_tpu.runtime.engine import make_random_reference
+
+    char = model_manager.get("batchy")
+    ref = make_random_reference(char, api.engine, ref_seconds=0.2)
+    n = api.engine.warmup(char, ref, sweep=True)
+    # phoneme ladder (no bert for JA) + latent grid + vocode windows
+    assert n >= len(api.engine.cfg.phoneme_buckets) + len(api.engine.cfg.frame_buckets)
