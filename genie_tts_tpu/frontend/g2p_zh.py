@@ -26,7 +26,6 @@ from typing import Dict, List, Tuple
 from ..config import chinese_g2p_dir
 from .normalize_zh import normalize_chinese
 from .symbols import phones_to_ids, symbol_to_id_v2
-from .tone_sandhi import apply_sandhi
 
 logger = logging.getLogger(__name__)
 
@@ -159,81 +158,164 @@ def pinyin_to_symbols(py: str) -> List[str]:
 
 
 # ---------------------------------------------------------------------------
-# Erhua
+# Polyphone correction (reference CorrectPronunciation.py: whole-word match
+# first, then per-char overrides; dict = bundled seed + GenieData
+# polyphonic.pickle / polyphonic.tsv)
 # ---------------------------------------------------------------------------
 
-# words where 儿 is a content syllable and must NOT merge
+@lru_cache(maxsize=1)
+def _polyphonic_dict() -> Dict[str, List[str]]:
+    d: Dict[str, List[str]] = {}
+    try:
+        with resources.files("genie_tts_tpu.data").joinpath(
+                "polyphonic_seed.json").open("r", encoding="utf-8") as f:
+            d.update(json.load(f))
+    except FileNotFoundError:  # pragma: no cover
+        pass
+    root = chinese_g2p_dir()
+    pkl = root / "polyphonic.pickle"
+    if pkl.exists():
+        try:
+            import pickle
+
+            with open(pkl, "rb") as f:
+                loaded = pickle.load(f)
+            d.update({k: (v if isinstance(v, list) else [v])
+                      for k, v in loaded.items()})
+        except Exception:
+            logger.warning("could not load %s", pkl)
+    tsv = root / "polyphonic.tsv"
+    if tsv.exists():
+        for line in tsv.read_text(encoding="utf-8").splitlines():
+            if "\t" in line:
+                tok, pys = line.split("\t", 1)
+                d[tok] = pys.split()
+    return d
+
+
+def correct_pronunciation(word: str, pinyins: List[str]) -> List[str]:
+    pp = _polyphonic_dict()
+    whole = pp.get(word)
+    if whole:
+        return list(whole)
+    out = list(pinyins)
+    for i, ch in enumerate(word):
+        if i >= len(out):
+            break
+        per_char = pp.get(ch)
+        if per_char:
+            out[i] = per_char[0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Erhua (reference Erhua.py semantics: the 儿 keeps its slot, re-toned to
+# the previous syllable)
+# ---------------------------------------------------------------------------
+
+_MUST_ERHUA = {
+    "小院儿", "胡同儿", "范儿", "老汉儿", "撒欢儿", "寻老礼儿", "妥妥儿", "媳妇儿",
+}
 _NOT_ERHUA = {
-    "儿子", "儿女", "儿孙", "女儿", "男儿", "少儿", "婴儿", "幼儿", "孤儿",
-    "胎儿", "新生儿", "婴幼儿", "幼儿园", "托儿所", "儿童", "儿科", "育儿",
+    "虐儿", "为儿", "护儿", "瞒儿", "救儿", "替儿", "有儿", "一儿", "我儿", "俺儿",
+    "妻儿", "拐儿", "聋儿", "乞儿", "患儿", "幼儿", "孤儿", "婴儿", "婴幼儿",
+    "连体儿", "脑瘫儿", "流浪儿", "体弱儿", "混血儿", "蜜雪儿", "舫儿", "祖儿",
+    "美儿", "应采儿", "可儿", "侄儿", "孙儿", "侄孙儿", "女儿", "男儿", "红孩儿",
+    "花儿", "虫儿", "马儿", "鸟儿", "猪儿", "猫儿", "狗儿", "少儿",
 }
 
 
-def merge_erhua(word: str, pinyins: List[str]) -> Tuple[str, List[str]]:
-    """Drop a word-final 儿 (er2/er5) unless the word is content-儿."""
-    if (len(word) >= 2 and word.endswith("儿") and word not in _NOT_ERHUA
-            and pinyins and pinyins[-1] and pinyins[-1][:-1] == "er"):
-        return word[:-1], pinyins[:-1]
-    return word, pinyins
+def merge_erhua(word: str, pinyins: List[str], pos: str = "n"
+                ) -> Tuple[str, List[str]]:
+    """Erhua handling: word-final 儿 reads as er with the previous
+    syllable's tone (must/not lexicons + POS gates as in the reference)."""
+    py = list(pinyins)
+    if py and word and word[-1] == "儿" and py[-1] == "er1":
+        py[-1] = "er2"
+    if word not in _MUST_ERHUA and (word in _NOT_ERHUA
+                                    or pos in {"a", "j", "nr"}):
+        return word, py
+    if len(py) != len(word):
+        return word, py
+    if (len(py) >= 2 and word[-1] == "儿" and py[-1] in ("er2", "er5")
+            and word[-2:] not in _NOT_ERHUA):
+        py[-1] = "er" + py[-2][-1]
+    return word, py
 
 
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
 
-def chinese_to_phone_data(text: str):
-    """-> (norm_text, pinyins, phone_strs, word2ph)."""
-    norm = normalize_chinese(text)
+_ENG_RE = re.compile(r"[a-zA-Z]+")
+_SENT_SPLIT_RE = re.compile(r"(?<=[!?…,.\-])\s*")
+
+
+def _segment(text: str) -> List[Tuple[str, str]]:
+    """(word, POS) segmentation: jieba.posseg when available, else chars."""
     if _HAS_JIEBA:
-        seg = [w for w in jieba.cut(norm) if w.strip()]
-    else:  # pragma: no cover
-        seg = [c for c in norm if c.strip()]
+        import jieba.posseg as psg
 
-    # per-word pinyin (None for non-hanzi chars)
-    tagged: List[Tuple[str, List[str]]] = []
-    for w in seg:
-        if _HANZI_RE.search(w):
-            w2, py = merge_erhua(w, word_pinyins(w))
-            tagged.append((w2, py))
-        else:
-            tagged.append((w, [None] * len(w)))
+        return [(w, p) for w, p in psg.lcut(text) if w.strip()]
+    return [(c, "x") for c in text if c.strip()]  # pragma: no cover
 
-    # sandhi over hanzi words only
-    sandhied = apply_sandhi(
-        [(w, [p for p in py if p]) for w, py in tagged if any(py)])
-    s_iter = iter(sandhied)
-    final_words: List[Tuple[str, List[str]]] = []
-    for w, py in tagged:
-        if any(py):
-            final_words.append(next(s_iter))
-        else:
-            final_words.append((w, py))
+
+def chinese_to_phone_data(text: str):
+    """-> (norm_text, pinyins, phone_strs, word2ph).
+
+    Pipeline order matches the reference ChineseG2P.g2p
+    (``ChineseG2P.py:113-171``): normalize -> per-sentence POS
+    segmentation -> tone-sandhi pre-merge -> per-word pinyin + polyphone
+    correction -> modified_tone -> erhua -> opencpop-strict symbols."""
+    norm = normalize_chinese(text)
+    sentences = [s for s in _SENT_SPLIT_RE.split(norm) if s.strip()]
 
     norm_text_chars: List[str] = []
+    all_pinyins: List[str] = []
     phones: List[str] = []
     word2ph: List[int] = []
-    for w, py in final_words:
-        if any(py):
-            for ch, p in zip(w, py + [None] * (len(w) - len(py))):
-                if p is None:
-                    continue
+    for sent in sentences:
+        sent = _ENG_RE.sub("", sent)
+        seg_cut = _segment(sent)
+        from .tone_sandhi import modified_tone, pre_merge
+
+        seg_cut = pre_merge(seg_cut, lambda w: [p or "" for p in word_pinyins(w)])
+        for word, pos in seg_cut:
+            if pos == "eng":
+                continue
+            if not _HANZI_RE.search(word):
+                for ch in word:
+                    if ch in _PUNCT_KEEP:
+                        norm_text_chars.append(ch)
+                        phones.append(ch)
+                        word2ph.append(1)
+                continue
+            py = word_pinyins(word)
+            known = [p for p in py if p]
+            if len(known) != len(word):
+                # unknown chars inside the word: emit what we can, skip rest
+                for ch, p in zip(word, py):
+                    if p is None:
+                        continue
+                    syms = pinyin_to_symbols(p)
+                    if syms:
+                        norm_text_chars.append(ch)
+                        all_pinyins.append(p)
+                        phones.extend(syms)
+                        word2ph.append(len(syms))
+                continue
+            py = correct_pronunciation(word, known)
+            py = modified_tone(word, pos, py)
+            _, py = merge_erhua(word, py, pos)
+            for ch, p in zip(word, py):
                 syms = pinyin_to_symbols(p)
                 if not syms:
                     continue
                 norm_text_chars.append(ch)
+                all_pinyins.append(p)
                 phones.extend(syms)
                 word2ph.append(len(syms))
-        else:
-            for ch in w:
-                if ch in _PUNCT_KEEP:
-                    norm_text_chars.append(ch)
-                    phones.append(ch)
-                    word2ph.append(1)
-                # other non-hanzi chars dropped (ascii letters handled by
-                # the hybrid splitter upstream)
-    norm_text = "".join(norm_text_chars)
-    pinyins = [p for _, py in final_words for p in py if p]
-    return norm_text, pinyins, phones, word2ph
+    return "".join(norm_text_chars), all_pinyins, phones, word2ph
 
 
 def chinese_to_phones(text: str):

@@ -110,6 +110,96 @@ def apply(params: Params, fbank: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Torch checkpoint conversion (3D-Speaker ERes2NetV2 naming, BN folding)
+# ---------------------------------------------------------------------------
+
+def _fold_bn(w, bn_prefix, sd, eps: float = 1e-5):
+    """Fold BatchNorm into the preceding conv: returns (w', b') with the
+    torch conv layout [out, in, kh, kw] preserved."""
+    import numpy as np
+
+    gamma = np.asarray(sd[f"{bn_prefix}.weight"], np.float64)
+    beta = np.asarray(sd[f"{bn_prefix}.bias"], np.float64)
+    mean = np.asarray(sd[f"{bn_prefix}.running_mean"], np.float64)
+    var = np.asarray(sd[f"{bn_prefix}.running_var"], np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    w = np.asarray(w, np.float64) * scale[:, None, None, None]
+    b = beta - mean * scale
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def _conv_bn(sd, conv_key, bn_key):
+    """Folded conv+BN -> {'w': [kh,kw,in,out], 'b': [out]} (NHWC/HWIO)."""
+    import numpy as np
+
+    w, b = _fold_bn(sd[f"{conv_key}.weight"], bn_key, sd)
+    if f"{conv_key}.bias" in sd:
+        # conv bias flows through BN: y = scale*(conv+bias - mean)+beta
+        gamma = np.asarray(sd[f"{bn_key}.weight"], np.float64)
+        var = np.asarray(sd[f"{bn_key}.running_var"], np.float64)
+        b = b + np.asarray(sd[f"{conv_key}.bias"], np.float64) * (
+            gamma / np.sqrt(var + 1e-5))
+        b = b.astype(np.float32)
+    return {"w": np.transpose(w, (2, 3, 1, 0)), "b": b}
+
+
+def _aff_from(sd, prefix):
+    """AFF local_att Sequential(conv,BN,SiLU,conv,BN) -> {att1, att2}."""
+    return {
+        "att1": _conv_bn(sd, f"{prefix}.local_att.0", f"{prefix}.local_att.1"),
+        "att2": _conv_bn(sd, f"{prefix}.local_att.3", f"{prefix}.local_att.4"),
+    }
+
+
+def convert_from_torch(sd) -> Params:
+    """3D-Speaker ERes2NetV2 torch state dict -> param tree.
+
+    Expected keys per block ``layer{L}.{i}``: conv1/bn1, convs.{j}/bns.{j}
+    (j < SCALE), conv3/bn3, optional shortcut.0/shortcut.1 (Sequential
+    conv+BN), and (layers 3-4) fuse_models.{j}.local_att.{0,1,3,4}.
+    Top level: conv1/bn1, layer3_ds, fuse_mode34. All BatchNorms are
+    folded into the convs; kernels land HWIO for NHWC compute.
+    Raises KeyError with the missing key if a checkpoint deviates.
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in sd.items() if hasattr(v, "shape")}
+    params: Params = {"conv1": _conv_bn(sd, "conv1", "bn1")}
+    for li, blocks in enumerate(NUM_BLOCKS):
+        layer = []
+        for bi in range(blocks):
+            pre = f"layer{li + 1}.{bi}"
+            n_convs = len([k for k in sd
+                           if k.startswith(f"{pre}.convs.")
+                           and k.endswith(".weight")])
+            if n_convs != SCALE:
+                raise KeyError(
+                    f"{pre}: expected {SCALE} res2 convs, found {n_convs} — "
+                    "checkpoint is not baseWidth=24/scale=4 ERes2NetV2")
+            block = {
+                "conv1": _conv_bn(sd, f"{pre}.conv1", f"{pre}.bn1"),
+                "convs": [_conv_bn(sd, f"{pre}.convs.{j}", f"{pre}.bns.{j}")
+                          for j in range(SCALE)],
+                "conv3": _conv_bn(sd, f"{pre}.conv3", f"{pre}.bn3"),
+            }
+            if f"{pre}.shortcut.0.weight" in sd:
+                block["shortcut"] = _conv_bn(
+                    sd, f"{pre}.shortcut.0", f"{pre}.shortcut.1")
+            if f"{pre}.fuse_models.0.local_att.0.weight" in sd:
+                block["fuse"] = [
+                    _aff_from(sd, f"{pre}.fuse_models.{j}")
+                    for j in range(SCALE - 1)]
+            layer.append(block)
+        params[f"layer{li + 1}"] = layer
+    ds = {"w": np.transpose(sd["layer3_ds.weight"], (2, 3, 1, 0))}
+    if "layer3_ds.bias" in sd:
+        ds["b"] = sd["layer3_ds.bias"].astype(np.float32)
+    params["layer3_ds"] = ds
+    params["fuse34"] = _aff_from(sd, "fuse_mode34")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Init (random; conversion from torch lands with real checkpoints)
 # ---------------------------------------------------------------------------
 

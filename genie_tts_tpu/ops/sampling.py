@@ -49,7 +49,9 @@ def top_k_top_p_filter(logits: jnp.ndarray, top_k: int, top_p: float) -> jnp.nda
     """Mask logits outside the top-k / nucleus set with -inf. [B, V] fp32."""
     neg = jnp.float32(-1e10)
     if top_k > 0 and top_k < logits.shape[-1]:
-        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        # lax.top_k, not a full sort: this runs once per decode step inside
+        # the AR while_loop, and a full 1025-wide sort is far slower on TPU
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, neg, logits)
     if top_p < 1.0:
         sort_idx = jnp.argsort(-logits, axis=-1)

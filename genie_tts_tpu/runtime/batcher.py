@@ -32,6 +32,8 @@ class _Request:
     phones: np.ndarray
     bert: np.ndarray
     sampling: Optional[SamplingConfig]
+    max_steps: Optional[int] = None
+    min_steps: int = 0
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
@@ -66,10 +68,13 @@ class ContinuousBatcher:
     def synthesize(self, char: CharacterModel, ref: ReferenceFeatures,
                    phones: np.ndarray, bert: np.ndarray,
                    sampling: Optional[SamplingConfig] = None,
-                   timeout: Optional[float] = None) -> np.ndarray:
+                   timeout: Optional[float] = None,
+                   max_steps: Optional[int] = None,
+                   min_steps: int = 0) -> np.ndarray:
         """Blocking submit; batches with concurrent callers."""
         self.start()
-        req = _Request(char, ref, phones, bert, sampling)
+        req = _Request(char, ref, phones, bert, sampling,
+                       max_steps=max_steps, min_steps=min_steps)
         self._q.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("batched synthesis timed out")
@@ -115,7 +120,9 @@ class ContinuousBatcher:
                 outs = self.engine.synthesize_batch(
                     batch[0].char,
                     [(r.ref, r.phones, r.bert) for r in batch],
-                    sampling=batch[0].sampling)
+                    sampling=batch[0].sampling,
+                    max_steps=batch[0].max_steps,
+                    min_steps=batch[0].min_steps)
                 for r, a in zip(batch, outs):
                     r.result = a
                     r.done.set()

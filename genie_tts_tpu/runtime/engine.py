@@ -85,7 +85,8 @@ class ReferenceFeatures:
 
 def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                     phones, bert, x_len, prompts, p_len, text, t_len,
-                    ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps):
+                    ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps,
+                    layer_unroll=1):
     """Whole utterance in one XLA program: T2S decode + SoVITS vocode.
 
     Used when decode length is pinned (benchmarks, short utterances): the
@@ -94,7 +95,8 @@ def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
     kg, ks = jax.random.split(key)
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
-        max_steps=max_steps, cache_len=cache_len, min_steps=min_steps)
+        max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
+        layer_unroll=layer_unroll)
     audio = sovits.synthesize(
         sovits_params, vcfg, ks, codes, codes_len, text, t_len,
         ge, ge_mrte, noise_scale)
@@ -160,11 +162,16 @@ class TTSEngine:
         self._fused = jax.jit(
             _t2s_and_vocode,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
-                             "min_steps"))
+                             "min_steps", "layer_unroll"))
         # device-side codes re-bucketing (static output length)
         self._slice_codes = jax.jit(
             lambda codes, n: jax.lax.slice_in_dim(codes, 0, n, axis=1),
             static_argnames=("n",))
+
+    def _unroll(self, tcfg) -> int:
+        """Decode layer unroll: 0 in config means full unroll (see
+        RuntimeConfig.layer_unroll for the v5e measurements)."""
+        return self.cfg.layer_unroll or tcfg.num_layers
 
     # -- reference feature extraction ------------------------------------
 
@@ -218,8 +225,14 @@ class TTSEngine:
         seed: Optional[int] = None,
         noise_scale: float = 0.5,
         fixed_steps: Optional[int] = None,
+        min_steps: int = 0,
+        max_steps: Optional[int] = None,
     ) -> np.ndarray:
         """One sentence -> float32 waveform [S] at 32 kHz.
+
+        ``min_steps``: EOS masked below this step count (0 = reference
+        behavior). Used by benchmarks to exercise the realistic
+        EOS-terminated decode path at controlled minimum lengths.
 
         Dispatch discipline (tunneled TPU hosts pay ~20-40 ms per blocking
         call): the whole T2S stage is ONE jitted call (embed + prefill +
@@ -230,13 +243,14 @@ class TTSEngine:
         with metrics.timer("synthesize_utterance"):
             audio = self._synthesize_utterance(
                 char, ref, text_phones, text_bert, sampling, seed,
-                noise_scale, fixed_steps)
+                noise_scale, fixed_steps, min_steps, max_steps)
         metrics.incr("utterances")
         metrics.observe("audio_seconds", len(audio) / char.sovits_cfg.sample_rate)
         return audio
 
     def _synthesize_utterance(self, char, ref, text_phones, text_bert,
-                              sampling, seed, noise_scale, fixed_steps):
+                              sampling, seed, noise_scale, fixed_steps,
+                              min_steps=0, max_steps=None):
         scfg = sampling or SamplingConfig()
         tcfg = char.t2s_cfg
         vcfg = char.sovits_cfg
@@ -250,7 +264,7 @@ class TTSEngine:
         x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
         p_len = len(ref.prompt_tokens)
         p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
-        max_steps = fixed_steps or tcfg.max_decode_steps
+        max_steps = fixed_steps or max_steps or tcfg.max_decode_steps
 
         if np.any(ref.bert) or np.any(text_bert):
             bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
@@ -275,7 +289,8 @@ class TTSEngine:
                 noise_scale=noise_scale,
                 max_steps=max_steps,
                 cache_len=x_bucket + p_bucket + max_steps,
-                min_steps=fixed_steps)
+                min_steps=fixed_steps,
+                layer_unroll=self._unroll(tcfg))
             n_codes = int(codes_len[0])
             return np.asarray(
                 audio[0, : 2 * n_codes * vcfg.hop_length], dtype=np.float32)
@@ -289,7 +304,9 @@ class TTSEngine:
             np.array([p_len], np.int32),
             max_steps=max_steps,
             cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=fixed_steps or 0,
+            min_steps=min_steps,
+            use_flash=self.cfg.use_flash_decode,
+            layer_unroll=self._unroll(tcfg),
         )
 
         # ---- SoVITS: bucket codes (device-side slice), vocode, trim
@@ -353,6 +370,8 @@ class TTSEngine:
         sampling: Optional[SamplingConfig] = None,
         seed: Optional[int] = None,
         noise_scale: float = 0.5,
+        min_steps: int = 0,
+        max_steps: Optional[int] = None,
     ):
         """Generator of waveform chunks for one sentence (intra-utterance
         streaming): yields ~``vocode_chunk``-frame pieces as the chunked
@@ -373,7 +392,7 @@ class TTSEngine:
         x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
         p_len = len(ref.prompt_tokens)
         p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
-        max_steps = tcfg.max_decode_steps
+        max_steps = max_steps or tcfg.max_decode_steps
         if np.any(ref.bert) or np.any(text_bert):
             bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
             bert_dev = pad_to(bert, x_bucket, axis=0)[None]
@@ -385,7 +404,9 @@ class TTSEngine:
             pad_to(phones, x_bucket)[None], bert_dev,
             np.array([x_len], np.int32),
             ref.prompts_dev(p_bucket), np.array([p_len], np.int32),
-            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps)
+            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
+            min_steps=min_steps, use_flash=self.cfg.use_flash_decode,
+            layer_unroll=self._unroll(tcfg))
         n_codes = int(codes_len[0])
         if n_codes == 0:
             return
@@ -483,7 +504,8 @@ class TTSEngine:
                 noise_scale=noise_scale,
                 max_steps=max_steps,
                 cache_len=x_bucket + p_bucket + max_steps,
-                min_steps=fixed_steps or 0)
+                min_steps=fixed_steps or 0,
+                layer_unroll=self._unroll(tcfg))
             in_flight.append((audio, codes_len))
             if len(in_flight) >= window:
                 fetch_one()
@@ -499,6 +521,8 @@ class TTSEngine:
         seed: Optional[int] = None,
         noise_scale: float = 0.5,
         fixed_steps: Optional[int] = None,
+        min_steps: int = 0,
+        max_steps: Optional[int] = None,
     ) -> "list[np.ndarray]":
         """Batched synthesis for continuous serving.
 
@@ -533,7 +557,7 @@ class TTSEngine:
         x_bucket = pick_bucket(int(x_lens.max()), self.cfg.phoneme_buckets)
         p_bucket = pick_bucket(int(p_lens.max()), self.cfg.prompt_buckets)
         t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
-        max_steps = fixed_steps or tcfg.max_decode_steps
+        max_steps = fixed_steps or max_steps or tcfg.max_decode_steps
 
         phones_b = np.stack([pad_to(p, x_bucket) for p in phones_rows])
         prompts_b = np.stack([pad_to(p, p_bucket) for p in prompt_rows])
@@ -546,7 +570,9 @@ class TTSEngine:
             jnp.asarray(phones_b), bert_b, jnp.asarray(x_lens),
             jnp.asarray(prompts_b), jnp.asarray(p_lens),
             max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=fixed_steps or 0,
+            min_steps=fixed_steps or min_steps,
+            use_flash=self.cfg.use_flash_decode,
+            layer_unroll=self._unroll(tcfg),
         )
         lens = np.asarray(codes_len)
         c_bucket = pick_bucket(int(max(lens.max(), 1)), self.cfg.frame_buckets)
@@ -603,7 +629,9 @@ class TTSEngine:
                         jnp.zeros((1, xb), jnp.int32), bert, ones,
                         prompts, ones, max_steps=max_steps,
                         cache_len=xb + p_bucket + max_steps,
-                        min_steps=0).compile()
+                        min_steps=0,
+                        use_flash=self.cfg.use_flash_decode,
+                        layer_unroll=self._unroll(tcfg)).compile()
                     n += 1
             ge = jnp.zeros((1, vcfg.gin_channels, 1), jnp.float32)
             gm = jnp.zeros((1, vcfg.mrte_channels, 1), jnp.float32)
@@ -641,7 +669,17 @@ def make_random_character(
     t2s_cfg: Optional[T2SConfig] = None,
     sovits_cfg: Optional[SoVITSConfig] = None,
     dtype=jnp.bfloat16,
+    eos_boost: float = 1.0,
 ) -> CharacterModel:
+    """Random-weight character for tests/benchmarks.
+
+    ``eos_boost``: scale on the EOS column of the predict layer. Random
+    weights give EOS no statistical edge — the AR loop settles into a
+    quasi-fixed point and (measured on v5e) essentially never emits EOS,
+    so every decode runs to the 500-step cap. Boosting the EOS logit
+    variance makes termination stochastic at realistic utterance lengths
+    (~1.6 -> ~1%/step once EOS is unmasked), exercising the real
+    EOS-terminated variable-length serving path."""
     tcfg = t2s_cfg or T2SConfig()
     vcfg = sovits_cfg or SoVITSConfig()
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -649,9 +687,14 @@ def make_random_character(
     # per leaf (the per-op tunnel latency makes eager init minutes-slow)
     t2s_init = jax.jit(t2s.init_params, static_argnames=("cfg", "dtype"))
     sovits_init = jax.jit(sovits.init_params, static_argnames=("cfg", "dtype"))
+    t2s_params = t2s_init(k1, cfg=tcfg, dtype=dtype)
+    if eos_boost != 1.0:
+        w = t2s_params["predict"]["w"]
+        col = w[:, tcfg.eos_id] * eos_boost
+        t2s_params["predict"]["w"] = w.at[:, tcfg.eos_id].set(col)
     return CharacterModel(
         name=name, language=language, version=vcfg.version,
-        t2s_params=t2s_init(k1, cfg=tcfg, dtype=dtype),
+        t2s_params=t2s_params,
         sovits_params=sovits_init(k2, cfg=vcfg, dtype=dtype),
         t2s_cfg=tcfg, sovits_cfg=vcfg,
     )

@@ -12,7 +12,7 @@ from genie_tts_tpu.frontend.normalize_zh import (
     normalize_chinese, number_to_hanzi, digits_to_hanzi,
 )
 from genie_tts_tpu.frontend.tone_sandhi import (
-    apply_sandhi, sandhi_bu, sandhi_third, sandhi_yi,
+    apply_sandhi, bu_sandhi, three_sandhi, yi_sandhi,
 )
 from genie_tts_tpu.frontend.g2p_zh import (
     chinese_to_phones, merge_erhua, pinyin_to_symbols,
@@ -88,27 +88,29 @@ class TestChineseNorm:
 
     def test_percent_time(self):
         assert "百分之五十" in normalize_chinese("涨了50%")
-        assert "三点三十分" in normalize_chinese("现在3:30")
+        # reference reads :30 as 半 (chronology.py replace_time)
+        assert "三点半" in normalize_chinese("现在3:30")
 
 
 class TestToneSandhi:
     def test_bu(self):
-        assert sandhi_bu("不是", ["bu4", "shi4"], None) == ["bu2", "shi4"]
-        assert sandhi_bu("不好", ["bu4", "hao3"], None) == ["bu4", "hao3"]
-        assert sandhi_bu("好不好", ["hao3", "bu4", "hao3"], None)[1] == "bu5"
+        assert bu_sandhi("不是", ["bu4", "shi4"]) == ["bu2", "shi4"]
+        assert bu_sandhi("不好", ["bu4", "hao3"]) == ["bu4", "hao3"]
+        assert bu_sandhi("好不好", ["hao3", "bu4", "hao3"])[1] == "bu5"
 
     def test_yi(self):
-        assert sandhi_yi("一个", ["yi1", "ge4"], None) == ["yi2", "ge4"]
-        assert sandhi_yi("一天", ["yi1", "tian1"], None) == ["yi4", "tian1"]
-        assert sandhi_yi("第一", ["di4", "yi1"], None) == ["di4", "yi1"]
+        assert yi_sandhi("一个", ["yi1", "ge4"]) == ["yi2", "ge4"]
+        assert yi_sandhi("一天", ["yi1", "tian1"]) == ["yi4", "tian1"]
+        assert yi_sandhi("第一", ["di4", "yi1"]) == ["di4", "yi1"]
 
     def test_third_tone(self):
-        assert sandhi_third(["ni3", "hao3"]) == ["ni2", "hao3"]
-        assert sandhi_third(["hao3"]) == ["hao3"]
+        assert three_sandhi("你好", ["ni3", "hao3"]) == ["ni2", "hao3"]
+        assert three_sandhi("好", ["hao3"]) == ["hao3"]
 
     def test_cross_word_third(self):
+        # pre-merge joins the two tone-3 monosyllables into one word
         out = apply_sandhi([("小", ["xiao3"]), ("狗", ["gou3"])])
-        assert out[0][1] == ["xiao2"]
+        assert out[0] == ("小狗", ["xiao2", "gou3"])
 
 
 class TestChineseG2P:
@@ -123,7 +125,8 @@ class TestChineseG2P:
         assert pinyin_to_symbols(py) == syms
 
     def test_erhua(self):
-        assert merge_erhua("花儿", ["hua1", "er5"]) == ("花", ["hua1"])
+        # reference semantics: 花儿 is in the non-erhua lexicon -> unchanged
+        assert merge_erhua("花儿", ["hua1", "er5"]) == ("花儿", ["hua1", "er5"])
         assert merge_erhua("儿子", ["er2", "zi3"])[0] == "儿子"
 
     def test_full_pipeline(self):
