@@ -252,7 +252,10 @@ def convert_sovits(pth_sd: Dict[str, np.ndarray],
             "conv_post": _conv(sd, "dec.conv_post", bias=False),
         },
     }
-    if "ref_enc.fc.fc.weight" in sd:  # V2 in-model style encoder
+    # V2 carries the MelStyleEncoder inside the synthesizer; V2ProPlus
+    # moves it to the external prompt encoder (same ref_enc.* keys in the
+    # checkpoint), so only bind it into vits params for V2
+    if cfg.version != "v2ProPlus" and "ref_enc.fc.fc.weight" in sd:
         params["ref_enc"] = {
             "spectral0": _lin(sd, "ref_enc.spectral.0.fc"),
             "spectral3": _lin(sd, "ref_enc.spectral.3.fc"),
@@ -322,18 +325,22 @@ def convert_character(
             gin_channels=1024 if version == "v2ProPlus" else 512)
         save_params(convert_t2s(ckpt_sd, pth_sd, tcfg), out / "t2s.safetensors")
         save_params(convert_sovits(pth_sd, vcfg), out / "vits.safetensors")
-        if version == "v2ProPlus" and any(k.startswith("prompt_encoder.")
-                                          or k.startswith("ref_enc.") for k in pth_sd):
-            # v2pp checkpoints may carry the prompt encoder alongside
+        vd = {k.removeprefix("vq_model.").removeprefix("prompt_encoder."): v
+              for k, v in pth_sd.items()}
+        if version == "v2ProPlus" and any(
+                k.startswith(("sv_emb.", "ge_to512.")) for k in vd):
+            # v2pp checkpoints carry the prompt-encoder tensors (ref_enc/
+            # sv_emb/ge_to512/prelu) in the same state dict — the reference
+            # extracts the same 23 keys (Converter/v2ProPlus/
+            # PromptEncoderConverter, Keys/prompt_encoder_weights.txt)
             from ..models.prompt_encoder import convert_from_torch
 
-            pe_sd = {k.removeprefix("prompt_encoder."): v for k, v in pth_sd.items()}
             try:
-                save_params(convert_from_torch(pe_sd),
+                save_params(convert_from_torch(vd),
                             out / "prompt_encoder.safetensors")
-            except KeyError:
-                logger.warning("prompt-encoder weights incomplete; convert "
-                               "them separately")
+            except KeyError as e:
+                logger.warning("prompt-encoder weights incomplete (%s); "
+                               "convert them separately", e)
         extra = {}
         if t2s_cfg is not None:
             extra["t2s"] = dataclasses.asdict(t2s_cfg)

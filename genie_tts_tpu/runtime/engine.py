@@ -310,13 +310,11 @@ class TTSEngine:
         )
 
         # ---- SoVITS: bucket codes (device-side slice), vocode, trim
-        if fixed_steps is not None:
-            n_codes = fixed_steps  # no host sync needed
-        else:
-            n_codes = int(codes_len[0])  # scalar readback
-            if n_codes == 0:
-                logger.warning("T2S produced no semantic tokens; returning silence")
-                return np.zeros(0, np.float32)
+        # (fixed_steps took the fused single-dispatch path above)
+        n_codes = int(codes_len[0])  # scalar readback
+        if n_codes == 0:
+            logger.warning("T2S produced no semantic tokens; returning silence")
+            return np.zeros(0, np.float32)
         c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
         codes_b = (self._slice_codes(codes, n=c_bucket) if c_bucket < codes.shape[1]
                    else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
@@ -330,8 +328,6 @@ class TTSEngine:
             noise_scale,
         )
         audio = self._vocode_audio(char, z, ref.ge_dev, codes_len)
-        if fixed_steps is not None:
-            n_codes = int(codes_len[0])  # sync here, overlapped with vocode
         n_samples = 2 * n_codes * vcfg.hop_length
         return audio[0, :n_samples].astype(np.float32)
 
