@@ -124,8 +124,15 @@ def _enable_persistent_compile_cache() -> None:
 class TTSEngine:
     """Stateless-compute engine; all mutable state is the jit cache."""
 
-    def __init__(self, runtime_cfg: Optional[RuntimeConfig] = None):
+    def __init__(self, runtime_cfg: Optional[RuntimeConfig] = None,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a dp axis. When
+        set, ``synthesize_batch`` shards the batch dimension across the
+        mesh (data-parallel serving over chips — BASELINE config[4]
+        "continuous-batched multi-character serving on v5e-8"); weights
+        must be replicated via :meth:`replicate_character`."""
         self.cfg = runtime_cfg or RuntimeConfig()
+        self.mesh = mesh
         import os
 
         # GENIE_PLATFORM pins the JAX backend (the axon TPU plugin ignores
@@ -172,6 +179,37 @@ class TTSEngine:
         """Decode layer unroll: 0 in config means full unroll (see
         RuntimeConfig.layer_unroll for the v5e measurements)."""
         return self.cfg.layer_unroll or tcfg.num_layers
+
+    # -- data-parallel serving over a mesh ---------------------------------
+
+    @property
+    def _dp_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        return self.mesh.shape[self.cfg.dp_axis]
+
+    def _dp_put(self, x):
+        """Shard a batch-major array's leading axis over the dp mesh axis."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.cfg.dp_axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def replicate_character(self, char: CharacterModel) -> CharacterModel:
+        """Replicate a character's weights across the mesh (dp serving)."""
+        if self.mesh is None:
+            return char
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        char.t2s_params = jax.device_put(char.t2s_params, rep)
+        char.sovits_params = jax.device_put(char.sovits_params, rep)
+        if char.prompt_encoder_params is not None:
+            char.prompt_encoder_params = jax.device_put(
+                char.prompt_encoder_params, rep)
+        return char
 
     # -- reference feature extraction ------------------------------------
 
@@ -534,8 +572,11 @@ class TTSEngine:
         k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
         B = len(items)
         # pad the batch dimension to a bucket (replicated rows, outputs
-        # sliced back to B) so any arrival count hits a compiled program
+        # sliced back to B) so any arrival count hits a compiled program;
+        # under dp serving, also to a multiple of the mesh's dp extent
         B_pad = max(pick_bucket(B, self.cfg.batch_buckets), B)
+        dp = self._dp_size
+        B_pad = -(-B_pad // dp) * dp
         items = list(items) + [items[0]] * (B_pad - B)
 
         phones_rows, bert_rows, prompt_rows, text_rows = [], [], [], []
@@ -557,14 +598,14 @@ class TTSEngine:
 
         phones_b = np.stack([pad_to(p, x_bucket) for p in phones_rows])
         prompts_b = np.stack([pad_to(p, p_bucket) for p in prompt_rows])
-        bert_b = (jnp.asarray(np.stack([pad_to(b, x_bucket, axis=0)
-                                        for b in bert_rows]))
+        bert_b = (self._dp_put(np.stack([pad_to(b, x_bucket, axis=0)
+                                         for b in bert_rows]))
                   if any_bert else None)
 
         codes, codes_len = self._generate_e2e(
             char.t2s_params, tcfg, scfg, k_gen,
-            jnp.asarray(phones_b), bert_b, jnp.asarray(x_lens),
-            jnp.asarray(prompts_b), jnp.asarray(p_lens),
+            self._dp_put(phones_b), bert_b, self._dp_put(x_lens),
+            self._dp_put(prompts_b), self._dp_put(p_lens),
             max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
             min_steps=fixed_steps or min_steps,
             use_flash=self.cfg.use_flash_decode,
@@ -575,12 +616,14 @@ class TTSEngine:
         codes_b = (self._slice_codes(codes, n=c_bucket)
                    if c_bucket < codes.shape[1]
                    else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
-        text_b = np.stack([pad_to(t, t_bucket) for t in text_rows])
-        ge_b = jnp.concatenate([ref.ge_dev for ref, _, _ in items], axis=0)
-        gm_b = jnp.concatenate([ref.ge_mrte_dev for ref, _, _ in items], axis=0)
+        text_b = self._dp_put(np.stack([pad_to(t, t_bucket) for t in text_rows]))
+        ge_b = self._dp_put(
+            jnp.concatenate([ref.ge_dev for ref, _, _ in items], axis=0))
+        gm_b = self._dp_put(
+            jnp.concatenate([ref.ge_mrte_dev for ref, _, _ in items], axis=0))
         z = self._latent(
             char.sovits_params, vcfg, k_syn, codes_b, codes_len,
-            text_b, t_lens, ge_b, gm_b, noise_scale)
+            text_b, self._dp_put(t_lens), ge_b, gm_b, noise_scale)
         audio = self._vocode_audio(char, z, ge_b, codes_len)
         metrics.incr("utterances", B)
         return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length].astype(np.float32)
