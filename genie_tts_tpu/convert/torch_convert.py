@@ -274,6 +274,33 @@ def convert_sovits(pth_sd: Dict[str, np.ndarray],
 # Driver
 # ---------------------------------------------------------------------------
 
+def find_checkpoints(directory: Union[str, Path]):
+    """Pick the training outputs to convert from a folder (non-recursive).
+
+    Capability of the reference GUI's batch converter
+    (``Converter/v2/Converter.py:26-77``): the ``.ckpt`` and ``.pth``
+    whose filename carries the highest ``e<epoch>`` number (0 when
+    absent); ties broken by newest mtime. Returns (ckpt_path, pth_path),
+    either possibly None.
+    """
+    import re as _re
+
+    best = {".ckpt": (None, -1, -1.0), ".pth": (None, -1, -1.0)}
+    for p in Path(directory).iterdir():
+        if not p.is_file():
+            continue
+        ext = p.suffix.lower()
+        if ext not in best:
+            continue
+        m = _re.search(r"e(\d+)", p.name, flags=_re.IGNORECASE)
+        epoch = int(m.group(1)) if m else 0
+        mtime = p.stat().st_mtime
+        cur = best[ext]
+        if epoch > cur[1] or (epoch == cur[1] and mtime > cur[2]):
+            best[ext] = (p, epoch, mtime)
+    return best[".ckpt"][0], best[".pth"][0]
+
+
 def detect_version(pth_path: Union[str, Path]) -> str:
     """Reference size heuristic (Converter/Converter.py:7-11)."""
     size = Path(pth_path).stat().st_size

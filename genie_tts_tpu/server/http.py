@@ -68,6 +68,48 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
         chunk_q.put(None)
 
 
+# conversion jobs (the reference GUI's converter tab runs these on a
+# QThread; here a background thread + a status dict polled by the UI)
+_convert_jobs: dict = {}
+_convert_seq = 0
+_convert_lock = threading.Lock()
+
+
+def _start_convert_job(payload: dict) -> dict:
+    """Start a background conversion. Payload: ``out`` + either
+    ``ckpt``+``pth`` or ``folder`` (epoch-max pick, GUI behavior)."""
+    global _convert_seq
+    from ..convert.torch_convert import convert_character, find_checkpoints
+
+    ckpt, pth = payload.get("ckpt"), payload.get("pth")
+    if not (ckpt and pth):
+        folder = payload.get("folder")
+        if not folder:
+            raise ValueError("convert needs ckpt+pth or a folder")
+        ckpt, pth = find_checkpoints(folder)
+        if not (ckpt and pth):
+            raise ValueError(f"no .ckpt/.pth found in {folder}")
+    out = payload["out"]
+    language = payload.get("language", "Japanese")
+    with _convert_lock:
+        _convert_seq += 1
+        job_id = f"job{_convert_seq}"
+    _convert_jobs[job_id] = {"state": "running",
+                             "ckpt": str(ckpt), "pth": str(pth), "out": out}
+
+    def run():
+        try:
+            version = convert_character(ckpt, pth, out, language=language,
+                                        version=payload.get("version"))
+            _convert_jobs[job_id].update(state="done", version=version)
+        except Exception as e:  # job status carries the failure
+            logger.exception("conversion failed")
+            _convert_jobs[job_id].update(state="failed", error=str(e))
+
+    threading.Thread(target=run, daemon=True, name=f"convert-{job_id}").start()
+    return {"job_id": job_id}
+
+
 class GenieHandler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     server_version = "genie-tts-tpu"
@@ -92,6 +134,12 @@ class GenieHandler(BaseHTTPRequestHandler):
             from ..utils.metrics import metrics
 
             return self._reply(200, metrics.snapshot())
+        if self.path == "/logs":
+            from ..utils import logs
+
+            return self._reply(200, {"lines": logs.snapshot()})
+        if self.path == "/convert_jobs":
+            return self._reply(200, dict(_convert_jobs))
         if self.path == "/health":
             return self._reply(200, {"status": "ok"})
         if self.path in ("/", "/index.html"):
@@ -144,6 +192,8 @@ class GenieHandler(BaseHTTPRequestHandler):
                 return self._reply(200, {"status": "ok"})
             if self.path == "/tts":
                 return self._handle_tts(payload)
+            if self.path == "/convert":
+                return self._reply(200, _start_convert_job(payload))
             if self.path == "/presets":
                 from .webui import save_preset
 
@@ -202,6 +252,9 @@ def start_server(host: str = "127.0.0.1", port: int = 8000,
     """Serve the TTS API. ``workers`` kept for reference-API compatibility
     (threading model here; scale-out happens via process managers)."""
     global _server
+    from ..utils import logs
+
+    logs.install()  # ring buffer behind GET /logs (GUI log-tab parity)
     server = ThreadingHTTPServer((host, port), GenieHandler)
     _server = server
     logger.info("genie-tts-tpu server listening on %s:%d", host, port)

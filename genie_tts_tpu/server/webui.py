@@ -81,6 +81,23 @@ INDEX_HTML = """<!doctype html>
  <audio id="player" controls style="width:100%;margin-top:.6rem"></audio>
 </fieldset>
 
+<fieldset><legend>Convert checkpoints</legend>
+ <label>.ckpt path (or leave empty and give a folder)</label><input id="vckpt">
+ <label>.pth path</label><input id="vpth">
+ <label>Folder (picks the epoch-max .ckpt/.pth)</label><input id="vfolder">
+ <label>Output character directory</label><input id="vout">
+ <label>Language</label>
+ <select id="vlang"><option>ja</option><option>en</option><option>zh</option></select>
+ <button onclick="startConvert()">Convert</button>
+ <button class="alt" onclick="refreshJobs()">Refresh jobs</button>
+ <pre id="jobs"></pre>
+</fieldset>
+
+<fieldset><legend>Server logs</legend>
+ <button class="alt" onclick="refreshLogs()">Refresh</button>
+ <pre id="srvlogs" style="max-height:16rem"></pre>
+</fieldset>
+
 <fieldset><legend>Status</legend><pre id="log"></pre></fieldset>
 
 <script>
@@ -138,6 +155,22 @@ async function savePreset(){
   log('preset saved: '+name); }
 async function deletePreset(){
   await post('/presets/delete', {name: preset.value}); await refreshPresets(); }
+async function startConvert(){
+  try {
+    const body = {out: vout.value, language: vlang.value};
+    if (vckpt.value && vpth.value) { body.ckpt = vckpt.value; body.pth = vpth.value; }
+    else body.folder = vfolder.value;
+    const r = await post('/convert', body); const j = await r.json();
+    log('conversion started: ' + j.job_id);
+    setTimeout(refreshJobs, 1000);
+  } catch(e){ log('ERROR '+e.message); } }
+async function refreshJobs(){
+  const r = await fetch('/convert_jobs'); const j = await r.json();
+  jobs.textContent = Object.entries(j).map(([k,v]) =>
+    `${k}: ${v.state}${v.version ? ' ('+v.version+')' : ''}${v.error ? ' — '+v.error : ''}`).join('\\n'); }
+async function refreshLogs(){
+  const r = await fetch('/logs'); const j = await r.json();
+  srvlogs.textContent = j.lines.slice(-80).reverse().join('\\n'); }
 refreshPresets();
 </script></body></html>
 """
