@@ -145,6 +145,9 @@ class RuntimeConfig:
     # chunked HiFi-GAN vocoding: bounded memory + streaming TTFA. Halo must
     # exceed the generator's frame-level receptive field (~14 frames).
     vocode_chunk: int = 128           # latent frames per chunk (2.56 s audio)
+    # streaming: the FIRST chunk is smaller so first audio lands sooner
+    # (0.96 s of audio; its vocode window is first+halo frames)
+    stream_first_chunk: int = 48
     # generator receptive field ~14 frames; 24 keeps margin and measured
     # ~35% faster than 32 on v5e (window alignment)
     vocode_halo: int = 24

@@ -458,19 +458,24 @@ class TTSEngine:
         hop = vcfg.hop_length
         F = z.shape[1]
         chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+        first = min(self.cfg.stream_first_chunk, chunk)
         frames_valid = 2 * codes_len
         total_valid = 2 * n_codes
         emitted = 0
-        for start in range(0, F, chunk):
+        # a small first chunk cuts time-to-first-audio (its vocode window
+        # is ~3x narrower); subsequent chunks use the full stride
+        starts = [0] + list(range(first, F, chunk)) if first < F else [0]
+        for start in starts:
             if emitted >= total_valid:
                 break
+            width = first if start == 0 else chunk
             s0 = max(start - halo, 0)
-            s1 = min(start + chunk + halo, F)
+            s1 = min(start + width + halo, F)
             zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
             valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
             a = self._vocode(char.sovits_params, vcfg, zc, ref.ge_dev, valid)
             off = (start - s0) * hop
-            n_frames = min(chunk, total_valid - start)
+            n_frames = min(width, total_valid - start)
             piece = np.asarray(a[0, off: off + n_frames * hop], np.float32)
             emitted += n_frames
             if first_chunk_at is None:
@@ -686,7 +691,8 @@ class TTSEngine:
             chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
             widths = {2 * fb for fb in self.cfg.frame_buckets
                       if 2 * fb <= chunk + 2 * halo}
-            widths |= {chunk + halo, chunk + 2 * halo}
+            widths |= {chunk + halo, chunk + 2 * halo,
+                       min(self.cfg.stream_first_chunk, chunk) + halo}
             for w in sorted(widths):
                 self._vocode.lower(
                     char.sovits_params, vcfg,
