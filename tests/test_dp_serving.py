@@ -86,3 +86,35 @@ def test_dp_with_mesh_tp_axis_present(setup):
     assert len(outs) == 4
     for a in outs:
         assert np.isfinite(a).all()
+
+
+def test_tp_sharded_decode_matches(setup):
+    """Megatron-style TP shardings on the T2S decoder (mesh tp axis) give
+    the same tokens as replicated execution — XLA inserts the collectives
+    (SURVEY §2.4)."""
+    from genie_tts_tpu.parallel.mesh import make_mesh, shard_params
+    from genie_tts_tpu.models import t2s
+    from genie_tts_tpu.ops.sampling import SamplingConfig
+    import jax
+
+    solo, char, ref, items = setup
+    mesh = make_mesh(dp=1, tp=4)
+    sharded, _ = shard_params(char.t2s_params, mesh)
+
+    rng = np.random.default_rng(3)
+    phones = jnp.asarray(rng.integers(1, TCFG.phoneme_vocab, (1, 8)), jnp.int32)
+    prompts = jnp.asarray(rng.integers(0, TCFG.semantic_vocab - 1, (1, 12)),
+                          jnp.int32)
+    args = dict(max_steps=8, cache_len=8 + 12 + 8, min_steps=8)
+    fn = jax.jit(t2s.generate_e2e,
+                 static_argnames=("cfg", "scfg", "max_steps", "cache_len",
+                                  "min_steps", "use_flash", "layer_unroll"))
+    scfg = SamplingConfig(top_k=1, repetition_penalty=1.0)
+    key = jax.random.PRNGKey(0)
+    xl = jnp.array([8]); pl = jnp.array([12])
+    codes_rep, len_rep = fn(char.t2s_params, TCFG, scfg, key, phones, None,
+                            xl, prompts, pl, **args)
+    codes_tp, len_tp = fn(sharded, TCFG, scfg, key, phones, None,
+                          xl, prompts, pl, **args)
+    np.testing.assert_array_equal(np.asarray(codes_rep), np.asarray(codes_tp))
+    assert int(len_rep[0]) == int(len_tp[0])
