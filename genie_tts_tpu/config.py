@@ -147,6 +147,13 @@ class RuntimeConfig:
     vocode_chunk: int = 256           # latent frames per chunk (5.12 s audio;
     # chunk 256 + halo 24 measured fastest on v5e: 133 ms vs 207-223 ms
     # for 512 frames at chunk 128/512)
+    # solo EOS path: fuse decode+latent+vocode into ONE dispatch (no host
+    # syncs) when the decode cap fits this many codes. Measured on v5e:
+    # p50 identical to the staged path (the saved sync is offset by
+    # vocoding the whole frame bucket) while multiplying the compile
+    # surface across (x_bucket, t_bucket, ladder) — so DISABLED by
+    # default (0); the fixed_steps fast path still fuses.
+    solo_fused_max_codes: int = 0
     # streaming: the FIRST chunk is smaller so first audio lands sooner
     # (0.96 s of audio; its vocode window is first+halo frames)
     stream_first_chunk: int = 48

@@ -86,17 +86,25 @@ class ReferenceFeatures:
 def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                     phones, bert, x_len, prompts, p_len, text, t_len,
                     ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps,
-                    layer_unroll=1):
+                    layer_unroll=1, codes_bucket=None):
     """Whole utterance in one XLA program: T2S decode + SoVITS vocode.
 
-    Used when decode length is pinned (benchmarks, short utterances): the
-    vocoder bucket equals ``max_steps`` so no host sync is needed anywhere.
+    Zero host syncs mid-utterance. ``codes_bucket`` sizes the vocoder
+    stage (defaults to ``max_steps``); for the EOS path the engine picks
+    the frame bucket covering ``max_steps`` so actual length never
+    exceeds it — padded frames are masked, and the caller trims to
+    ``2 * codes_len * hop`` samples.
     """
     kg, ks = jax.random.split(key)
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
         max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
         layer_unroll=layer_unroll)
+    bucket = codes_bucket or max_steps
+    if bucket < codes.shape[1]:
+        codes = jax.lax.slice_in_dim(codes, 0, bucket, axis=1)
+    elif bucket > codes.shape[1]:
+        codes = jnp.pad(codes, ((0, 0), (0, bucket - codes.shape[1])))
     audio = sovits.synthesize(
         sovits_params, vcfg, ks, codes, codes_len, text, t_len,
         ge, ge_mrte, noise_scale)
@@ -169,7 +177,7 @@ class TTSEngine:
         self._fused = jax.jit(
             _t2s_and_vocode,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
-                             "min_steps", "layer_unroll"))
+                             "min_steps", "layer_unroll", "codes_bucket"))
         # device-side codes re-bucketing (static output length)
         self._slice_codes = jax.jit(
             lambda codes, n: jax.lax.slice_in_dim(codes, 0, n, axis=1),
@@ -310,8 +318,15 @@ class TTSEngine:
         else:
             bert_dev = None  # all-zero BERT built on device (JA/EN path)
 
-        if fixed_steps is not None:
-            # single-dispatch fast path: T2S + vocoder in one XLA program
+        # single-dispatch fast path: T2S + vocoder in one XLA program with
+        # ZERO mid-pipeline host syncs. Taken when the decode length is
+        # pinned, or on the EOS path whenever the decode cap fits a frame
+        # bucket small enough that vocoding the whole bucket is cheaper
+        # than the sync + extra dispatches it saves (tunneled hosts pay
+        # 20-40 ms per blocking round trip).
+        if fixed_steps is not None or max_steps <= self.cfg.solo_fused_max_codes:
+            c_bucket = (max_steps if fixed_steps is not None
+                        else pick_bucket(max_steps, self.cfg.frame_buckets))
             t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
             audio, codes_len = self._fused(
                 char.t2s_params, char.sovits_params,
@@ -327,8 +342,9 @@ class TTSEngine:
                 noise_scale=noise_scale,
                 max_steps=max_steps,
                 cache_len=x_bucket + p_bucket + max_steps,
-                min_steps=fixed_steps,
-                layer_unroll=self._unroll(tcfg))
+                min_steps=fixed_steps if fixed_steps is not None else min_steps,
+                layer_unroll=self._unroll(tcfg),
+                codes_bucket=c_bucket)
             n_codes = int(codes_len[0])
             return np.asarray(
                 audio[0, : 2 * n_codes * vcfg.hop_length], dtype=np.float32)

@@ -249,8 +249,21 @@ _server: Optional[ThreadingHTTPServer] = None
 
 def start_server(host: str = "127.0.0.1", port: int = 8000,
                  workers: int = 1, block: bool = True) -> ThreadingHTTPServer:
-    """Serve the TTS API. ``workers`` kept for reference-API compatibility
-    (threading model here; scale-out happens via process managers)."""
+    """Serve the TTS API.
+
+    ``workers`` is accepted for reference-API compatibility but scale-out
+    works differently on TPU: the reference forks N independent uvicorn
+    processes (``Server.py:164-165``) because its engine is single-flight;
+    here one process serves many concurrent requests (thread-per-request,
+    continuous batching onto the chip), and multi-chip scale-out is
+    ``TTSEngine(mesh=...)`` data-parallel serving — N processes sharing
+    one chip would only contend. A warning is logged when workers > 1.
+    """
+    if workers > 1:
+        logger.warning(
+            "workers=%d ignored: requests continuous-batch onto the chip in "
+            "one process; use TTSEngine(mesh=...) for multi-chip serving",
+            workers)
     global _server
     from ..utils import logs
 
