@@ -117,7 +117,7 @@ def main():
         bert = np.zeros((len(phones), tcfg.bert_dim), np.float32)
         return engine.synthesize_utterance(
             char, ref, phones, bert, sampling=scfg, seed=seed,
-            min_steps=min_steps, max_steps=min_steps + 56)
+            min_steps=min_steps, max_steps=min_steps + 56, pcm16=True)
 
     # ---- warmup: compile each min_steps decode graph + vocode buckets
     t0 = time.perf_counter()
@@ -159,7 +159,7 @@ def main():
             t1 = time.perf_counter()
             gen = engine.synthesize_utterance_stream(
                 char, ref, phones, bert, sampling=scfg, seed=100 + i,
-                min_steps=100, max_steps=156)
+                min_steps=100, max_steps=156, pcm16=True)
             next(gen)
             ttfas.append(time.perf_counter() - t1)
             for _ in gen:

@@ -148,12 +148,16 @@ class RuntimeConfig:
     # chunk 256 + halo 24 measured fastest on v5e: 133 ms vs 207-223 ms
     # for 512 frames at chunk 128/512)
     # solo EOS path: fuse decode+latent+vocode into ONE dispatch (no host
-    # syncs) when the decode cap fits this many codes. Measured on v5e:
-    # p50 identical to the staged path (the saved sync is offset by
-    # vocoding the whole frame bucket) while multiplying the compile
-    # surface across (x_bucket, t_bucket, ladder) — so DISABLED by
-    # default (0); the fixed_steps fast path still fuses.
-    solo_fused_max_codes: int = 0
+    # syncs) when the decode cap fits this many codes. Re-measured on v5e
+    # with the single-device_get fetch + snug ceil-32 codes bucket: the
+    # fused path saves 2-3 blocking tunnel round trips (~25 ms each) per
+    # utterance vs the staged path (321 -> ~230 ms at ~8 s of audio), so
+    # it is ON by default for decode caps <= 256 codes (~10 s). Above the
+    # cap, vocoding the whole bucket would out-cost the saved syncs; the
+    # staged path (one codes_len sync) takes over. GENIE_SOLO_FUSED=0
+    # disables.
+    solo_fused_max_codes: int = dataclasses.field(
+        default_factory=lambda: _env_int("GENIE_SOLO_FUSED", 256))
     # streaming: the FIRST chunk is smaller so first audio lands sooner
     # (0.96 s of audio; its vocode window is first+halo frames)
     stream_first_chunk: int = 48

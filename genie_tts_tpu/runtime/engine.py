@@ -83,32 +83,76 @@ class ReferenceFeatures:
         return self._prompts_dev[bucket]
 
 
+def _to_pcm16(audio: jnp.ndarray) -> jnp.ndarray:
+    """fp32 waveform -> int16 PCM on device (halves the d2h transfer; the
+    serving output format is PCM16 anyway)."""
+    return jnp.round(jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+
+def _fit_codes(codes: jnp.ndarray, bucket: int) -> jnp.ndarray:
+    if bucket < codes.shape[1]:
+        return jax.lax.slice_in_dim(codes, 0, bucket, axis=1)
+    if bucket > codes.shape[1]:
+        return jnp.pad(codes, ((0, 0), (0, bucket - codes.shape[1])))
+    return codes
+
+
 def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                     phones, bert, x_len, prompts, p_len, text, t_len,
                     ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps,
-                    layer_unroll=1, codes_bucket=None):
+                    layer_unroll=1, codes_bucket=None, pcm16=False):
     """Whole utterance in one XLA program: T2S decode + SoVITS vocode.
 
     Zero host syncs mid-utterance. ``codes_bucket`` sizes the vocoder
     stage (defaults to ``max_steps``); for the EOS path the engine picks
-    the frame bucket covering ``max_steps`` so actual length never
-    exceeds it — padded frames are masked, and the caller trims to
-    ``2 * codes_len * hop`` samples.
+    a bucket covering ``max_steps`` so actual length never exceeds it —
+    padded frames are masked, and the caller trims to
+    ``2 * codes_len * hop`` samples. ``pcm16``: emit int16 PCM.
     """
     kg, ks = jax.random.split(key)
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
         max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
         layer_unroll=layer_unroll)
-    bucket = codes_bucket or max_steps
-    if bucket < codes.shape[1]:
-        codes = jax.lax.slice_in_dim(codes, 0, bucket, axis=1)
-    elif bucket > codes.shape[1]:
-        codes = jnp.pad(codes, ((0, 0), (0, bucket - codes.shape[1])))
+    codes = _fit_codes(codes, codes_bucket or max_steps)
     audio = sovits.synthesize(
         sovits_params, vcfg, ks, codes, codes_len, text, t_len,
         ge, ge_mrte, noise_scale)
+    if pcm16:
+        audio = _to_pcm16(audio)
     return audio, codes_len
+
+
+def _t2s_latent_first(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
+                      phones, bert, x_len, prompts, p_len, text, t_len,
+                      ge, ge_mrte, noise_scale, max_steps, cache_len,
+                      min_steps, layer_unroll, codes_bucket, first_window,
+                      first_frames, pcm16=False):
+    """Streaming head: decode + latent + FIRST vocode chunk, one dispatch.
+
+    Time-to-first-audio = (decode + latent + one small vocode window +
+    one tunnel round trip) instead of paying a blocking sync per stage
+    (each blocking RPC costs ~25 ms on tunneled TPU hosts). Returns
+    (z latent [B, 2*codes_bucket, C] — stays on device for the remaining
+    chunks, codes_len [B], first audio [B, first_frames*hop]).
+    """
+    kg, ks = jax.random.split(key)
+    codes, codes_len = t2s.generate_e2e(
+        t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
+        max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
+        layer_unroll=layer_unroll)
+    codes = _fit_codes(codes, codes_bucket)
+    z = sovits.synthesize_latent(
+        sovits_params, vcfg, ks, codes, codes_len, text, t_len,
+        ge, ge_mrte, noise_scale)
+    zc = jax.lax.slice_in_dim(z, 0, min(first_window, z.shape[1]), axis=1)
+    valid = jnp.clip(2 * codes_len, 0, zc.shape[1])
+    a = sovits.vocode_frames(sovits_params, vcfg, zc, ge, valid)
+    first = jax.lax.slice_in_dim(
+        a, 0, min(first_frames * vcfg.hop_length, a.shape[1]), axis=1)
+    if pcm16:
+        first = _to_pcm16(first)
+    return z, codes_len, first
 
 
 def _enable_persistent_compile_cache() -> None:
@@ -177,7 +221,13 @@ class TTSEngine:
         self._fused = jax.jit(
             _t2s_and_vocode,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
-                             "min_steps", "layer_unroll", "codes_bucket"))
+                             "min_steps", "layer_unroll", "codes_bucket",
+                             "pcm16"))
+        self._fused_first = jax.jit(
+            _t2s_latent_first,
+            static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
+                             "min_steps", "layer_unroll", "codes_bucket",
+                             "first_window", "first_frames", "pcm16"))
         # device-side codes re-bucketing (static output length)
         self._slice_codes = jax.jit(
             lambda codes, n: jax.lax.slice_in_dim(codes, 0, n, axis=1),
@@ -273,30 +323,35 @@ class TTSEngine:
         fixed_steps: Optional[int] = None,
         min_steps: int = 0,
         max_steps: Optional[int] = None,
+        pcm16: bool = False,
     ) -> np.ndarray:
-        """One sentence -> float32 waveform [S] at 32 kHz.
+        """One sentence -> waveform [S] at 32 kHz (float32, or int16 when
+        ``pcm16`` — the PCM conversion then runs on device and the d2h
+        transfer is half the bytes; used by the serving/bench paths).
 
         ``min_steps``: EOS masked below this step count (0 = reference
         behavior). Used by benchmarks to exercise the realistic
         EOS-terminated decode path at controlled minimum lengths.
 
-        Dispatch discipline (tunneled TPU hosts pay ~20-40 ms per blocking
-        call): the whole T2S stage is ONE jitted call (embed + prefill +
-        decode + EOS finalize on device); the only mid-pipeline host sync
-        is the scalar ``codes_len`` read that picks the vocoder bucket —
-        and even that is skipped when ``fixed_steps`` pins decode length.
+        Dispatch discipline (tunneled TPU hosts pay ~25 ms per blocking
+        RPC): when the decode cap fits ``solo_fused_max_codes``, the WHOLE
+        utterance (embed + prefill + decode + EOS finalize + latent +
+        vocode + PCM) is ONE jitted dispatch followed by ONE
+        ``jax.device_get`` — no mid-pipeline syncs at all. Above the cap,
+        the staged path pays a single extra ``codes_len`` sync to size the
+        vocoder bucket.
         """
         with metrics.timer("synthesize_utterance"):
             audio = self._synthesize_utterance(
                 char, ref, text_phones, text_bert, sampling, seed,
-                noise_scale, fixed_steps, min_steps, max_steps)
+                noise_scale, fixed_steps, min_steps, max_steps, pcm16)
         metrics.incr("utterances")
         metrics.observe("audio_seconds", len(audio) / char.sovits_cfg.sample_rate)
         return audio
 
     def _synthesize_utterance(self, char, ref, text_phones, text_bert,
                               sampling, seed, noise_scale, fixed_steps,
-                              min_steps=0, max_steps=None):
+                              min_steps=0, max_steps=None, pcm16=False):
         scfg = sampling or SamplingConfig()
         tcfg = char.t2s_cfg
         vcfg = char.sovits_cfg
@@ -325,8 +380,11 @@ class TTSEngine:
         # than the sync + extra dispatches it saves (tunneled hosts pay
         # 20-40 ms per blocking round trip).
         if fixed_steps is not None or max_steps <= self.cfg.solo_fused_max_codes:
+            # codes_bucket rounds max_steps up to 32: max_steps is already a
+            # static key of this graph, so a snug bucket adds no compiles
+            # while trimming pad-frame vocode work vs a coarse ladder.
             c_bucket = (max_steps if fixed_steps is not None
-                        else pick_bucket(max_steps, self.cfg.frame_buckets))
+                        else -(-max_steps // 32) * 32)
             t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
             audio, codes_len = self._fused(
                 char.t2s_params, char.sovits_params,
@@ -344,10 +402,14 @@ class TTSEngine:
                 cache_len=x_bucket + p_bucket + max_steps,
                 min_steps=fixed_steps if fixed_steps is not None else min_steps,
                 layer_unroll=self._unroll(tcfg),
-                codes_bucket=c_bucket)
-            n_codes = int(codes_len[0])
-            return np.asarray(
-                audio[0, : 2 * n_codes * vcfg.hop_length], dtype=np.float32)
+                codes_bucket=c_bucket, pcm16=pcm16)
+            # ONE blocking fetch for both buffers; trim on host (an
+            # int(codes_len) -> device-slice -> fetch chain costs 2-3
+            # extra ~25 ms round trips on tunneled hosts)
+            a, n = jax.device_get((audio, codes_len))
+            n_samples = 2 * int(n[0]) * vcfg.hop_length
+            a = a[0, :n_samples]
+            return a if pcm16 else np.asarray(a, np.float32)
 
         # numpy args ride the dispatch itself — no separate device_put RPCs
         codes, codes_len = self._generate_e2e(
@@ -363,27 +425,31 @@ class TTSEngine:
             layer_unroll=self._unroll(tcfg),
         )
 
-        # ---- SoVITS: bucket codes (device-side slice), vocode, trim
+        # ---- SoVITS: bucket codes (host-side, codes are tiny), vocode, trim
         # (fixed_steps took the fused single-dispatch path above)
-        n_codes = int(codes_len[0])  # scalar readback
+        codes_np, n_arr = jax.device_get((codes, codes_len))  # one sync
+        n_codes = int(n_arr[0])
         if n_codes == 0:
             logger.warning("T2S produced no semantic tokens; returning silence")
-            return np.zeros(0, np.float32)
+            return np.zeros(0, np.int16 if pcm16 else np.float32)
         c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
-        codes_b = (self._slice_codes(codes, n=c_bucket) if c_bucket < codes.shape[1]
-                   else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
+        codes_b = codes_np[:, :c_bucket] if c_bucket <= codes_np.shape[1] else \
+            np.pad(codes_np, ((0, 0), (0, c_bucket - codes_np.shape[1])))
         t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
         z = self._latent(
             char.sovits_params, vcfg, k_syn,
-            codes_b, codes_len,
+            codes_b, n_arr,
             pad_to(text_phones.astype(np.int32), t_bucket)[None],
             np.array([len(text_phones)], np.int32),
             ref.ge_dev, ref.ge_mrte_dev,
             noise_scale,
         )
-        audio = self._vocode_audio(char, z, ref.ge_dev, codes_len)
+        audio = self._vocode_audio(char, z, ref.ge_dev, n_arr)
         n_samples = 2 * n_codes * vcfg.hop_length
-        return audio[0, :n_samples].astype(np.float32)
+        audio = audio[0, :n_samples].astype(np.float32)
+        if pcm16:
+            return np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        return audio
 
     def _vocode_audio(self, char: CharacterModel, z, ge, codes_len) -> np.ndarray:
         """Chunked HiFi-GAN over the latent: bounded memory, streaming-ready.
@@ -399,17 +465,20 @@ class TTSEngine:
         if F <= chunk + 2 * halo:
             a = self._vocode(char.sovits_params, vcfg, z, ge, frames_valid)
             return np.asarray(a)
-        pieces = []
+        pieces, spans = [], []
         for start in range(0, F, chunk):
             s0 = max(start - halo, 0)
             s1 = min(start + chunk + halo, F)
             zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
             valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
-            a = self._vocode(char.sovits_params, vcfg, zc, ge, valid)
-            off = (start - s0) * hop
-            n = min(chunk, F - start) * hop
-            pieces.append(a[:, off: off + n])
-        return np.concatenate([np.asarray(p) for p in pieces], axis=1)
+            pieces.append(self._vocode(char.sovits_params, vcfg, zc, ge, valid))
+            spans.append(((start - s0) * hop, min(chunk, F - start) * hop))
+        # all chunk dispatches are in flight; fetch them in ONE blocking RPC
+        # and trim the halos on host (a device-slice + per-piece fetch chain
+        # costs a ~25 ms tunnel round trip per chunk)
+        arrs = jax.device_get(pieces)
+        return np.concatenate(
+            [a[:, off: off + n] for a, (off, n) in zip(arrs, spans)], axis=1)
 
     def synthesize_utterance_stream(
         self,
@@ -422,20 +491,25 @@ class TTSEngine:
         noise_scale: float = 0.5,
         min_steps: int = 0,
         max_steps: Optional[int] = None,
+        pcm16: bool = False,
     ):
         """Generator of waveform chunks for one sentence (intra-utterance
         streaming): yields ~``vocode_chunk``-frame pieces as the chunked
-        HiFi-GAN completes them. First chunk latency ~= decode + one vocode
-        chunk, instead of the whole utterance."""
+        HiFi-GAN completes them.
+
+        The head of the stream (decode + latent + FIRST vocode window) is
+        ONE fused dispatch followed by ONE blocking fetch, so
+        time-to-first-audio = decode + latent + one small vocode window +
+        one tunnel round trip. Remaining chunks are sized exactly to the
+        emitted length and fetched one blocking RPC each (they overlap the
+        device computing subsequent chunks)."""
         import time as _time
 
         t_start = _time.perf_counter()
-        first_chunk_at = None
         scfg = sampling or SamplingConfig()
         tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
         if seed is None:
             seed = int(self._rng.integers(0, 2 ** 31 - 1))
-        k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
 
         phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
         x_len = len(phones)
@@ -449,54 +523,57 @@ class TTSEngine:
         else:
             bert_dev = None
 
-        codes, codes_len = self._generate_e2e(
-            char.t2s_params, tcfg, scfg, k_gen,
-            pad_to(phones, x_bucket)[None], bert_dev,
-            np.array([x_len], np.int32),
-            ref.prompts_dev(p_bucket), np.array([p_len], np.int32),
-            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=min_steps, use_flash=self.cfg.use_flash_decode,
-            layer_unroll=self._unroll(tcfg))
-        n_codes = int(codes_len[0])
-        if n_codes == 0:
-            return
-        c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
-        codes_b = (self._slice_codes(codes, n=c_bucket)
-                   if c_bucket < codes.shape[1]
-                   else jnp.pad(codes, ((0, 0), (0, c_bucket - codes.shape[1]))))
-        t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
-        z = self._latent(
-            char.sovits_params, vcfg, k_syn, codes_b, codes_len,
-            pad_to(text_phones.astype(np.int32), t_bucket)[None],
-            np.array([len(text_phones)], np.int32),
-            ref.ge_dev, ref.ge_mrte_dev, noise_scale)
-
         hop = vcfg.hop_length
-        F = z.shape[1]
         chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
         first = min(self.cfg.stream_first_chunk, chunk)
-        frames_valid = 2 * codes_len
+        c_bucket = -(-max_steps // 32) * 32
+        F = 2 * c_bucket
+        t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
+
+        z, codes_len, first_audio = self._fused_first(
+            char.t2s_params, char.sovits_params,
+            tcfg=tcfg, vcfg=vcfg, scfg=scfg,
+            key=jax.random.PRNGKey(seed),
+            phones=pad_to(phones, x_bucket)[None], bert=bert_dev,
+            x_len=np.array([x_len], np.int32),
+            prompts=ref.prompts_dev(p_bucket),
+            p_len=np.array([p_len], np.int32),
+            text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
+            t_len=np.array([len(text_phones)], np.int32),
+            ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev, noise_scale=noise_scale,
+            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
+            min_steps=min_steps, layer_unroll=self._unroll(tcfg),
+            codes_bucket=c_bucket, first_window=min(first + halo, F),
+            first_frames=first, pcm16=pcm16)
+        n_arr, first_np = jax.device_get((codes_len, first_audio))
+        n_codes = int(n_arr[0])
+        if n_codes == 0:
+            return
         total_valid = 2 * n_codes
-        emitted = 0
-        # a small first chunk cuts time-to-first-audio (its vocode window
-        # is ~3x narrower); subsequent chunks use the full stride
-        starts = [0] + list(range(first, F, chunk)) if first < F else [0]
-        for start in starts:
-            if emitted >= total_valid:
-                break
-            width = first if start == 0 else chunk
+        emitted = min(first, total_valid)
+        metrics.observe("ttfa", _time.perf_counter() - t_start)
+        yield first_np[0, : emitted * hop]
+
+        # remaining chunks: dispatch over the valid region only, then
+        # fetch in order (fetch of chunk i overlaps compute of i+1..)
+        jobs = []
+        for start in range(first, total_valid, chunk):
             s0 = max(start - halo, 0)
-            s1 = min(start + width + halo, F)
+            s1 = min(start + chunk + halo, F)
             zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
-            valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
+            valid = np.array([min(max(total_valid - s0, 0), s1 - s0)], np.int32)
             a = self._vocode(char.sovits_params, vcfg, zc, ref.ge_dev, valid)
-            off = (start - s0) * hop
-            n_frames = min(width, total_valid - start)
-            piece = np.asarray(a[0, off: off + n_frames * hop], np.float32)
+            n_frames = min(chunk, total_valid - start)
+            jobs.append((a, (start - s0) * hop, n_frames))
+        for a, off, n_frames in jobs:
+            arr = jax.device_get(a)
+            piece = arr[0, off: off + n_frames * hop]
+            if pcm16:
+                piece = np.round(
+                    np.clip(piece, -1.0, 1.0) * 32767.0).astype(np.int16)
+            else:
+                piece = np.asarray(piece, np.float32)
             emitted += n_frames
-            if first_chunk_at is None:
-                first_chunk_at = _time.perf_counter()
-                metrics.observe("ttfa", first_chunk_at - t_start)
             yield piece
         metrics.incr("utterances")
         metrics.observe("synthesize_utterance", _time.perf_counter() - t_start)
@@ -530,10 +607,9 @@ class TTSEngine:
         out: "list[np.ndarray]" = []
 
         def fetch_one():
-            audio, codes_len = in_flight.pop(0)
-            n = int(codes_len[0])
-            out.append(np.asarray(audio[0, : 2 * n * vcfg.hop_length],
-                                  dtype=np.float32))
+            a, n = jax.device_get(in_flight.pop(0))  # one blocking RPC
+            out.append(np.asarray(
+                a[0, : 2 * int(n[0]) * vcfg.hop_length], np.float32))
 
         for i, (text_phones, text_bert) in enumerate(items):
             phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
@@ -679,6 +755,11 @@ class TTSEngine:
                     or "hybrid" in char.language.lower()
                     or char.language.lower() in ("zh", "zh_en"))
         max_steps = tcfg.max_decode_steps
+        c_bucket = -(-max_steps // 32) * 32
+        first = min(self.cfg.stream_first_chunk, self.cfg.vocode_chunk)
+        first_window = min(first + self.cfg.vocode_halo, 2 * c_bucket)
+        ge = jnp.zeros((1, vcfg.gin_channels, 1), jnp.float32)
+        gm = jnp.zeros((1, vcfg.mrte_channels, 1), jnp.float32)
         with metrics.timer("warmup_sweep"):
             for xb in self.cfg.phoneme_buckets:
                 berts = [None] + ([jnp.zeros((1, xb, tcfg.bert_dim),
@@ -693,8 +774,25 @@ class TTSEngine:
                         use_flash=self.cfg.use_flash_decode,
                         layer_unroll=self._unroll(tcfg)).compile()
                     n += 1
-            ge = jnp.zeros((1, vcfg.gin_channels, 1), jnp.float32)
-            gm = jnp.zeros((1, vcfg.mrte_channels, 1), jnp.float32)
+                    # streaming head (decode+latent+first chunk fused);
+                    # text bucket <= packed bucket always
+                    for tb in self.cfg.phoneme_buckets:
+                        if tb > xb:
+                            continue
+                        self._fused_first.lower(
+                            char.t2s_params, char.sovits_params,
+                            tcfg=tcfg, vcfg=vcfg, scfg=scfg, key=key,
+                            phones=jnp.zeros((1, xb), jnp.int32), bert=bert,
+                            x_len=ones, prompts=prompts, p_len=ones,
+                            text=jnp.zeros((1, tb), jnp.int32), t_len=ones,
+                            ge=ge, ge_mrte=gm, noise_scale=0.5,
+                            max_steps=max_steps,
+                            cache_len=xb + p_bucket + max_steps,
+                            min_steps=0, layer_unroll=self._unroll(tcfg),
+                            codes_bucket=c_bucket,
+                            first_window=first_window, first_frames=first,
+                            pcm16=False).compile()
+                        n += 1
             for fb in self.cfg.frame_buckets:
                 for tb in self.cfg.phoneme_buckets:
                     self._latent.lower(
