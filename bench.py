@@ -103,8 +103,11 @@ def main():
     # eos_boost: random weights never emit EOS on their own (the AR loop
     # hits a fixed point); boosting the EOS logit variance makes decode
     # lengths stochastic at realistic scales so the EOS path is real
+    # int8 mirrors the serving default (model_manager applies it at
+    # character-load time when RuntimeConfig.t2s_int8)
     char = make_random_character(t2s_cfg=tcfg, sovits_cfg=vcfg,
-                                 dtype=jnp.bfloat16, eos_boost=1.6)
+                                 dtype=jnp.bfloat16, eos_boost=1.6,
+                                 int8=cfg.t2s_int8)
     ref = make_random_reference(char, engine, ref_seconds=5.0)
     scfg = SamplingConfig()
 
@@ -119,10 +122,22 @@ def main():
             char, ref, phones, bert, sampling=scfg, seed=seed,
             min_steps=min_steps, max_steps=min_steps + 56, pcm16=True)
 
-    # ---- warmup: compile each min_steps decode graph + vocode buckets
+    # ---- warmup: compile every (phoneme-bucket x min_steps) graph the
+    # suite will hit — exactly what engine.warmup's bucket sweep does for a
+    # server. The fused-path graph keys on (x_bucket, t_bucket, steps);
+    # one representative sentence per bucket pair covers the suite.
+    from genie_tts_tpu.runtime.buckets import pick_bucket
+
+    reps = {}
+    for s in JA_SENTENCES:
+        n = len(phones_cache[s])
+        key = (pick_bucket(len(ref.phones) + n, cfg.phoneme_buckets),
+               pick_bucket(n, cfg.phoneme_buckets))
+        reps.setdefault(key, s)
     t0 = time.perf_counter()
-    for i, ms in enumerate(MIN_STEPS_LADDER):
-        synth(suite[i], seed=i, min_steps=ms)
+    for rep in reps.values():
+        for ms in MIN_STEPS_LADDER:
+            synth(rep, seed=0, min_steps=ms)
     compile_s = time.perf_counter() - t0
 
     # ---- headline: 100 EOS-terminated utterances, variable lengths

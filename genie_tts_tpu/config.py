@@ -137,6 +137,15 @@ class RuntimeConfig:
     # Compile time stays ~10 s/graph. GENIE_LAYER_UNROLL overrides.
     layer_unroll: int = dataclasses.field(
         default_factory=lambda: _env_int("GENIE_LAYER_UNROLL", 0))
+    # Weight-only int8 quantization of the T2S decoder's per-layer matmuls
+    # (symmetric per-output-channel; models/t2s.py::quantize_params). The
+    # B=1 AR decode streams 24 x 6.3 MB of weights per step; int8 halves
+    # the bytes — measured 2.2x per decode step on v5e. Applied at
+    # character-load time by the model manager. GENIE_T2S_INT8=0 restores
+    # full-precision decode weights.
+    t2s_int8: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_T2S_INT8", "1").lower() not in ("0", "false", "off"))
     # Pallas flash-decode attention in the AR loop (TPU only; measured
     # neutral at B=1, revisit for large-batch serving). GENIE_FLASH_DECODE=1.
     use_flash_decode: bool = dataclasses.field(

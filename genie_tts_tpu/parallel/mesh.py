@@ -40,6 +40,8 @@ def _t2s_param_spec(path: str) -> P:
             return P(None, None, TP_AXIS)      # [L, in, out]: shard out
         if "qkv/b" in path or "ffn1/b" in path:
             return P(None, TP_AXIS)
+        if "qkv/scale" in path or "ffn1/scale" in path:
+            return P(None, TP_AXIS)            # int8 per-out-channel scales
         if "out/w" in path or "ffn2/w" in path:
             return P(None, TP_AXIS, None)      # [L, in, out]: shard in
         return P()                              # biases of row-parallel, norms

@@ -829,6 +829,7 @@ def make_random_character(
     sovits_cfg: Optional[SoVITSConfig] = None,
     dtype=jnp.bfloat16,
     eos_boost: float = 1.0,
+    int8: bool = False,
 ) -> CharacterModel:
     """Random-weight character for tests/benchmarks.
 
@@ -851,6 +852,8 @@ def make_random_character(
         w = t2s_params["predict"]["w"]
         col = w[:, tcfg.eos_id] * eos_boost
         t2s_params["predict"]["w"] = w.at[:, tcfg.eos_id].set(col)
+    if int8:
+        t2s_params = t2s.quantize_params(t2s_params)
     return CharacterModel(
         name=name, language=language, version=vcfg.version,
         t2s_params=t2s_params,

@@ -102,10 +102,15 @@ class ModelManager:
                     kw[k] = _deep_tuple(v)
             return cls(**kw)
 
+        t2s_params = load_params(path / "t2s.safetensors")
+        if self.cfg.t2s_int8:
+            from ..models.t2s import quantize_params
+
+            t2s_params = quantize_params(t2s_params)
         with self._lock:
             model = CharacterModel(
                 name=name, language=language, version=version,
-                t2s_params=load_params(path / "t2s.safetensors"),
+                t2s_params=t2s_params,
                 sovits_params=load_params(path / "vits.safetensors"),
                 t2s_cfg=_cfg(T2SConfig, cfg.get("t2s")),
                 sovits_cfg=_cfg(
