@@ -40,6 +40,11 @@ from ..config import T2SConfig
 from ..ops.layers import attention, layer_norm, linear, sine_position_table
 from ..ops.sampling import SamplingConfig, sample_token
 
+# Batched decode merges buffered K/V columns into the big cache every
+# _WRITE_CHUNK steps (see generate: the merge is a whole-cache copy on TPU,
+# so W amortizes it; larger W adds wasted trailing iterations after EOS).
+_WRITE_CHUNK = 16
+
 Params = Dict
 
 
@@ -232,6 +237,50 @@ def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask,
     return h, k_cache, v_cache
 
 
+def _layer_decode_buffered(lp: Params, h: jnp.ndarray, k_big, v_big,
+                           k_buf, v_buf, buf_mask, kv_mask, num_heads: int):
+    """One-token decode layer against a read-only big cache + write buffer.
+
+    Per-step dynamic_update_slice into a lane column of the full cache is
+    NOT in-place on TPU (Mosaic copies the buffer: measured ~2.7 ms/step
+    at B=8, dominating decode). Here the big caches [B,H,Dh,S] are never
+    written inside the step; the current segment's K/V columns live in a
+    small buffer [B,H,Dh,W] and the softmax runs over the concatenation
+    [big | buffer | self]. Returns (h, k_new [B,H,Dh], v_new [B,H,Dh]) —
+    the caller stacks the new columns into the buffer once per step and
+    merges buffers into the big cache once per W steps (amortized copy).
+    """
+    qkv = linear(lp["qkv"], h)
+    q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, num_heads)          # [B,H,1,Dh]
+    k_new = _split_heads(k_new, num_heads)[:, :, 0]   # [B,H,Dh]
+    v_new = _split_heads(v_new, num_heads)[:, :, 0]
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    s_big = jnp.einsum("bhqd,bhds->bhqs", q, k_big,
+                       preferred_element_type=jnp.float32) * scale
+    s_big = jnp.where(kv_mask[:, None, None, :], s_big, jnp.float32(-1e10))
+    s_buf = jnp.einsum("bhqd,bhdw->bhqw", q, k_buf,
+                       preferred_element_type=jnp.float32) * scale
+    s_buf = jnp.where(buf_mask[None, None, None, :], s_buf, jnp.float32(-1e10))
+    s_self = jnp.sum(q.astype(jnp.float32) * k_new[:, :, None, :],
+                     axis=-1, keepdims=True) * scale     # [B,H,1,1]
+    S, W = s_big.shape[-1], s_buf.shape[-1]
+    probs = jax.nn.softmax(
+        jnp.concatenate([s_big, s_buf, s_self], axis=-1), axis=-1
+    ).astype(q.dtype)
+    p_big, p_buf, p_self = (probs[..., :S], probs[..., S:S + W],
+                            probs[..., S + W:])
+    att = (jnp.einsum("bhqs,bhds->bhqd", p_big, v_big,
+                      preferred_element_type=q.dtype)
+           + jnp.einsum("bhqw,bhdw->bhqd", p_buf, v_buf,
+                        preferred_element_type=q.dtype)
+           + p_self * v_new[:, :, None, :])
+    h = layer_norm(lp["norm1"], h + linear(lp["out"], _merge_heads(att)))
+    ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
+    h = layer_norm(lp["norm2"], h + ff)
+    return h, k_new, v_new
+
+
 # ---------------------------------------------------------------------------
 # Generate: prefill + on-device AR decode
 # ---------------------------------------------------------------------------
@@ -339,73 +388,177 @@ def generate(
     prompt_valid = jnp.arange(Sp)[None, :] < p_len[:, None]
     hist0 = hist0.at[jnp.arange(B)[:, None], prompts].add(prompt_valid.astype(jnp.int32))
 
+    # All Gumbel noise for the loop drawn up front: one big vectorized
+    # threefry kernel instead of a split+gumbel chain per step (the
+    # while_loop body's fixed overhead is the B=1 latency floor).
+    gumbel = jax.random.gumbel(key, (max_steps, B, V), dtype=jnp.float32)
+
     # first token: EOS forbidden (GPT-SoVITS masks EOS on the first draw)
     forbid_eos = jnp.zeros((V,), bool).at[cfg.eos_id].set(True)
-    key, k0 = jax.random.split(key)
-    tok0 = sample_token(k0, logits0, hist0, scfg, forbid=forbid_eos)  # [B]
+    tok0 = sample_token(None, logits0, hist0, scfg, forbid=forbid_eos,
+                        noise=gumbel[0])  # [B]
 
     tokens = jnp.zeros((B, max_steps), jnp.int32)
     tokens = tokens.at[:, 0].set(tok0)
-    hist0 = hist0.at[jnp.arange(B), tok0].add(1)
+    hist0 = hist0 + jax.nn.one_hot(tok0, V, dtype=jnp.int32)
 
     kv_positions = jnp.arange(cache_len)[None, :]              # [1, S]
     pe_full = sine_position_table(cache_len, D, dtype=jnp.float32)
 
-    def cond(carry):
-        step, done, *_ = carry
-        return (step < max_steps) & ~jnp.all(done)
-
-    def body(carry):
-        step, done, tokens, counts, hist, k_cache, v_cache, key = carry
+    def embed_step(tokens, step):
+        """Input embedding for the token sampled at ``step - 1``."""
         cur_tok = tokens[jnp.arange(B), step - 1]
-        write_pos = Sx + Sp + step - 1                         # static offset + step
-        audio_pos = p_len + step - 1                           # audio position index [B]
-
+        audio_pos = p_len + step - 1                           # [B]
         emb = params["audio_embed"][cur_tok]                   # [B, D]
         pos_emb = pe_full[audio_pos]                           # [B, D]
-        h = (emb + (params["audio_pos_alpha"] * pos_emb).astype(emb.dtype))[:, None]
+        return (emb + (params["audio_pos_alpha"] * pos_emb).astype(emb.dtype))[:, None]
 
-        # keys visible: valid text, valid prompt, decoded tokens up to now
-        kv_mask = (
-            (kv_positions < x_len[:, None])
-            | ((kv_positions >= Sx) & (kv_positions < Sx + p_len[:, None]))
-            | ((kv_positions >= Sx + Sp) & (kv_positions <= Sx + Sp + step - 1))
-        )
-        pos_b = write_pos  # row-uniform write position (scalar)
-
-        def layer_body(h, inputs):
-            lp, kc, vc = inputs
-            h, kc, vc = _layer_decode(lp, h, kc, vc, pos_b, kv_mask, H,
-                                      use_flash=use_flash)
-            return h, (kc, vc)
-
-        h, (k_cache, v_cache) = jax.lax.scan(
-            layer_body, h, (params["layers"], k_cache, v_cache),
-            unroll=layer_unroll)
+    def sample_update(step, h, done, tokens, counts, hist):
+        """Predict head + sampling + EOS/token/hist bookkeeping for one step."""
         logits = jnp.dot(
             h[:, 0].astype(jnp.float32), params["predict"]["w"].astype(jnp.float32)
         )                                                      # [B, V]
-
-        key, kstep = jax.random.split(key)
         # below min_steps EOS is masked out of sampling entirely
         step_forbid = forbid_eos & (step < min_steps)
-        nxt = sample_token(kstep, logits, hist, scfg, forbid=step_forbid)
+        noise = jax.lax.dynamic_index_in_dim(
+            gumbel, jnp.minimum(step, max_steps - 1), keepdims=False)
+        nxt = sample_token(None, logits, hist, scfg, forbid=step_forbid,
+                           noise=noise)
         argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
         now_done = (argmax_eos | (nxt == cfg.eos_id)) & (step >= min_steps)
 
-        nxt = jnp.where(done, cfg.eos_id, nxt)                 # freeze finished rows
-        tokens = tokens.at[:, step].set(jnp.where(done, tokens[:, step], nxt))
-        hist = hist.at[jnp.arange(B), nxt].add((~done).astype(jnp.int32))
-        counts = jnp.where(done, counts, step + 1)
-        done = done | now_done
-        return step + 1, done, tokens, counts, hist, k_cache, v_cache, key
+        active = ~done & (step < max_steps)
+        nxt = jnp.where(active, nxt, cfg.eos_id)               # freeze finished rows
+        write = jnp.minimum(step, max_steps - 1)
+        tokens = tokens.at[:, write].set(
+            jnp.where(active, nxt, tokens[:, write]))
+        # one-hot add, not a scatter: a [B,V] vector op is cheaper on the
+        # VPU than a 1-element-per-row scatter every step
+        hist = hist + jax.nn.one_hot(nxt, V, dtype=jnp.int32) * (
+            active).astype(jnp.int32)[:, None]
+        counts = jnp.where(active, step + 1, counts)
+        done = done | now_done | (step + 1 >= max_steps)
+        return done, tokens, counts, hist
+
+    if B == 1 or use_flash:
+        # Solo/flash path: per-step dynamic_update_slice into the cache.
+        # Mosaic copies the cache buffer on the lane-column update, but at
+        # B=1 that copy is cheap and the buffered path's extra per-layer
+        # ops cost slightly more (measured 0.347 vs 0.359 ms/step).
+        def cond(carry):
+            step, done, *_ = carry
+            return (step < max_steps) & ~jnp.all(done)
+
+        def body(carry):
+            step, done, tokens, counts, hist, k_cache, v_cache = carry
+            h = embed_step(tokens, step)
+            # keys visible: valid text, valid prompt, decoded tokens so far
+            kv_mask = (
+                (kv_positions < x_len[:, None])
+                | ((kv_positions >= Sx) & (kv_positions < Sx + p_len[:, None]))
+                | ((kv_positions >= Sx + Sp) & (kv_positions <= Sx + Sp + step - 1))
+            )
+            pos_b = Sx + Sp + step - 1  # row-uniform write position (scalar)
+
+            def layer_body(h, inputs):
+                lp, kc, vc = inputs
+                h, kc, vc = _layer_decode(lp, h, kc, vc, pos_b, kv_mask, H,
+                                          use_flash=use_flash)
+                return h, (kc, vc)
+
+            h, (k_cache, v_cache) = jax.lax.scan(
+                layer_body, h, (params["layers"], k_cache, v_cache),
+                unroll=layer_unroll)
+            done, tokens, counts, hist = sample_update(
+                step, h, done, tokens, counts, hist)
+            return step + 1, done, tokens, counts, hist, k_cache, v_cache
+
+        done0 = jnp.zeros((B,), bool)
+        counts0 = jnp.ones((B,), jnp.int32)
+        step, done, tokens, counts, hist, k_cache, v_cache = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), done0, tokens, counts0, hist0, k_cache, v_cache)
+        )
+        return GenerateResult(tokens=tokens, counts=counts, steps=step)
+
+    # Batched path: write-buffered KV. Per-step lane-column updates of the
+    # big caches are not in-place on TPU (Mosaic copies the whole buffer —
+    # measured ~2.7 ms/step at B=8, dominating decode), and routing the
+    # caches through the layer scan's ys re-stacks them every step. Here
+    # the big caches are READ-ONLY scan xs; each step's K/V columns come
+    # out as tiny scan ys [L,B,H,Dh] appended to a segment buffer
+    # [L,B,H,Dh,W]; attention softmaxes over [big | buffer | self]; the
+    # buffer merges into the big cache once per W steps (one amortized
+    # copy) — only when a later segment will read it.
+    W = _WRITE_CHUNK
+
+    def inner(i, carry):
+        seg_base, done, tokens, counts, hist, k_big, v_big, k_buf, v_buf = carry
+        step = seg_base + i
+        h = embed_step(tokens, step)
+        # big-cache visibility: text, prompt, and MERGED decode columns
+        # (positions before this segment); the segment's own columns are
+        # covered by the buffer mask
+        kv_mask = (
+            (kv_positions < x_len[:, None])
+            | ((kv_positions >= Sx) & (kv_positions < Sx + p_len[:, None]))
+            | ((kv_positions >= Sx + Sp)
+               & (kv_positions < Sx + Sp + seg_base - 1))
+        )
+        buf_mask = jnp.arange(W) < i                            # cols written
+
+        def layer_body(h, inputs):
+            lp, kb, vb, kbuf, vbuf = inputs
+            h, k_new, v_new = _layer_decode_buffered(
+                lp, h, kb, vb, kbuf, vbuf, buf_mask, kv_mask, H)
+            return h, (k_new, v_new)
+
+        h, (k_cols, v_cols) = jax.lax.scan(
+            layer_body, h, (params["layers"], k_big, v_big, k_buf, v_buf),
+            unroll=layer_unroll)
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_cols[..., None], i, axis=4)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_cols[..., None], i, axis=4)
+        done, tokens, counts, hist = sample_update(
+            step, h, done, tokens, counts, hist)
+        return seg_base, done, tokens, counts, hist, k_big, v_big, k_buf, v_buf
+
+    def cond(carry):
+        seg, done, *_ = carry
+        return (seg * W + 1 < max_steps) & ~jnp.all(done)
+
+    def body(carry):
+        seg, done, tokens, counts, hist, k_big, v_big = carry
+        seg_base = seg * W + 1
+        k_buf = jnp.zeros((L, B, H, Dh, W), k_big.dtype)
+        v_buf = jnp.zeros((L, B, H, Dh, W), v_big.dtype)
+        _, done, tokens, counts, hist, k_big, v_big, k_buf, v_buf = \
+            jax.lax.fori_loop(
+                0, W, inner,
+                (seg_base, done, tokens, counts, hist, k_big, v_big,
+                 k_buf, v_buf))
+
+        # merge the segment's columns into the big caches — one whole-cache
+        # copy per W steps, and only if a later segment will read them
+        def merge(caches):
+            kb, vb = caches
+            base = Sx + Sp + seg_base - 1
+            kb = jax.lax.dynamic_update_slice(kb, k_buf, (0, 0, 0, 0, base))
+            vb = jax.lax.dynamic_update_slice(vb, v_buf, (0, 0, 0, 0, base))
+            return kb, vb
+
+        k_big, v_big = jax.lax.cond(
+            (seg_base + W < max_steps) & ~jnp.all(done),
+            merge, lambda c: c, (k_big, v_big))
+        return seg + 1, done, tokens, counts, hist, k_big, v_big
 
     done0 = jnp.zeros((B,), bool)
     counts0 = jnp.ones((B,), jnp.int32)
-    step, done, tokens, counts, hist, k_cache, v_cache, key = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), done0, tokens, counts0, hist0, k_cache, v_cache, key)
-    )
-    return GenerateResult(tokens=tokens, counts=counts, steps=step)
+    seg, done, tokens, counts, hist, k_cache, v_cache = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), done0, tokens, counts0, hist0, k_cache, v_cache))
+    return GenerateResult(tokens=tokens, counts=counts,
+                          steps=jnp.minimum(seg * W + 1, max_steps))
 
 
 def finalize_tokens_device(tokens: jnp.ndarray, counts: jnp.ndarray,

@@ -68,22 +68,30 @@ def top_k_top_p_filter(logits: jnp.ndarray, top_k: int, top_p: float) -> jnp.nda
 
 
 def sample_token(
-    key: jax.Array,
+    key: Optional[jax.Array],
     logits: jnp.ndarray,
     token_counts: jnp.ndarray,
     cfg: SamplingConfig,
     forbid: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One categorical draw per row. Returns [B] int32.
 
-    ``forbid``: optional [V] bool — tokens never sampled (e.g. EOS on the
-    very first decode step, matching GPT-SoVITS's first-step EOS mask).
+    ``forbid``: optional [V] (or per-row [B, V]) bool — tokens never
+    sampled (e.g. EOS on the very first decode step, matching GPT-SoVITS's
+    first-step EOS mask; per-row min_steps gates in the slot engine).
+    ``noise``: optional pre-drawn [B, V] Gumbel noise. Inside the AR
+    while_loop a per-step ``jax.random.gumbel`` costs a threefry kernel
+    chain every iteration; callers instead draw one [steps, B, V] table
+    up front (a single large, well-vectorized kernel) and slice per step.
     """
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, token_counts, cfg.repetition_penalty)
     if forbid is not None:
-        logits = jnp.where(forbid[None, :], jnp.float32(-1e10), logits)
+        fb = forbid if forbid.ndim == logits.ndim else forbid[None, :]
+        logits = jnp.where(fb, jnp.float32(-1e10), logits)
     logits = top_k_top_p_filter(logits, cfg.top_k, cfg.top_p)
     temperature = max(cfg.temperature, 1e-5)
-    gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
-    return jnp.argmax(logits / temperature + gumbel, axis=-1).astype(jnp.int32)
+    if noise is None:
+        noise = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    return jnp.argmax(logits / temperature + noise, axis=-1).astype(jnp.int32)

@@ -30,9 +30,12 @@ def test_matches_xla_layers(pos):
     k_refs = []
     for layer in range(L):
         lp = jax.tree.map(lambda x: x[layer], params["layers"])
-        h, kcl, _ = t2s._layer_decode(lp, h, kc[layer], vc[layer], pos,
-                                      jnp.asarray(kv_mask)[None], H)
-        k_refs.append(kcl)
+        # default _layer_decode path stores caches kv-major [B,H,Dh,S]
+        h, kcl, _ = t2s._layer_decode(
+            lp, h, jnp.swapaxes(kc[layer], -1, -2),
+            jnp.swapaxes(vc[layer], -1, -2), pos,
+            jnp.asarray(kv_mask)[None], H)
+        k_refs.append(jnp.swapaxes(kcl, -1, -2))   # back to [B,H,S,Dh]
     h_ref = np.asarray(h[0, 0])
 
     def to_sd(c):  # [L,1,H,S,Dh] -> [L,S,D]

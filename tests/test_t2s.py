@@ -191,3 +191,37 @@ class TestDecodeLoopSemantics:
                                             np.asarray(counts), eos_id=32)
         np.testing.assert_array_equal(np.asarray(codes[0][: int(lens[0])]),
                                       host[0])
+
+
+def test_buffered_batched_decode_matches_solo(params):
+    """B>1 decode (write-buffered KV path) must match the solo loop.
+
+    The batched path softmaxes over [merged cache | segment buffer | self]
+    instead of one contiguous cache — the attended key set is identical, so
+    greedy token streams must agree (fp32; summation-order drift can only
+    flip exact ties).
+    """
+    greedy = SamplingConfig(top_k=1, temperature=1.0, repetition_penalty=1.0)
+    idsA = jnp.array([3, 5, 7, 2, 11, 0], jnp.int32)
+    idsB = jnp.array([9, 1, 4, 6, 8, 2], jnp.int32)
+    prm = jnp.array([4, 5, 6, 0], jnp.int32)
+    bert = jnp.zeros((6, CFG.bert_dim))
+    steps = 40  # > 2 write-chunk segments so merges + buffer masks are hit
+
+    def run(ids_rows, x_lens, p_lens):
+        ids_b = jnp.stack(ids_rows)
+        B = ids_b.shape[0]
+        x = t2s.embed_text(params, ids_b, jnp.stack([bert] * B))
+        res = t2s.generate(
+            params, CFG, greedy, jax.random.PRNGKey(0), x,
+            jnp.array(x_lens), jnp.stack([prm] * B), jnp.array(p_lens),
+            max_steps=steps, cache_len=6 + 4 + steps, min_steps=steps)
+        return np.asarray(res.tokens), np.asarray(res.counts)
+
+    tok_b, cnt_b = run([idsA, idsB], [4, 6], [3, 4])
+    tok_a, cnt_a = run([idsA], [4], [3])
+    tok_bb, cnt_bb = run([idsB], [6], [4])
+    assert int(cnt_b[0]) == int(cnt_a[0])
+    assert int(cnt_b[1]) == int(cnt_bb[0])
+    np.testing.assert_array_equal(tok_b[0, : cnt_b[0]], tok_a[0, : cnt_a[0]])
+    np.testing.assert_array_equal(tok_b[1, : cnt_b[1]], tok_bb[0, : cnt_bb[0]])
