@@ -79,6 +79,9 @@ def load_character(character_name: str,
 
 def unload_character(character_name: str) -> None:
     model_manager.remove_character(character_name)
+    sb = _slot_batchers.pop(character_name, None)
+    if sb is not None:
+        sb.stop()
 
 
 def set_reference_audio(character_name: str,
@@ -137,14 +140,31 @@ def get_batcher():
     return _batcher
 
 
+_slot_batchers: dict = {}
+
+
+def get_slot_batcher(char):
+    """Lazy per-character SlotBatcher (in-flight continuous batching)."""
+    sb = _slot_batchers.get(char.name)
+    if sb is None:
+        from .runtime.slot_batcher import SlotBatcher
+
+        sb = SlotBatcher(engine, char)
+        _slot_batchers[char.name] = sb
+    return sb
+
+
 def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = None,
                    use_batcher: bool = False):
     """Build (synth, synth_stream) for one character.
 
-    ``use_batcher``: route whole sentences through the continuous batcher
-    so concurrent requests micro-batch on the chip (the server's default
-    /tts path; BASELINE config[4]). The stream fn stays direct — it's the
-    solo intra-utterance-latency path.
+    ``use_batcher``: route whole sentences through continuous batching so
+    concurrent requests share the chip (the server's default /tts path;
+    BASELINE config[4]). Default-sampling requests that fit the slot
+    machine's static buckets take the in-flight slot batcher (join a
+    running batch at the next ~W-step segment); others fall back to the
+    window batcher. The stream fn stays direct — it's the solo
+    intra-utterance-latency path.
     """
     char = model_manager.get(character_name)
     if char is None:
@@ -164,6 +184,10 @@ def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = Non
         if len(phones) == 0:
             return None
         if use_batcher:
+            if engine.cfg.serve_slots and sampling is None:
+                sb = get_slot_batcher(char)
+                if sb.fits(feats, phones):
+                    return sb.synthesize(feats, phones, bert)
             return get_batcher().synthesize(
                 char, feats, phones, bert, sampling=sampling)
         return engine.synthesize_utterance(

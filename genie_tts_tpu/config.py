@@ -146,6 +146,19 @@ class RuntimeConfig:
     t2s_int8: bool = dataclasses.field(
         default_factory=lambda: os.environ.get(
             "GENIE_T2S_INT8", "1").lower() not in ("0", "false", "off"))
+    # In-flight (slot) continuous batching — models/slots.py +
+    # runtime/slot_batcher.py. A persistent slot_batch-slot decode machine
+    # advances slot_steps tokens per dispatch; requests join free slots
+    # between dispatches (join latency = one segment, not one batch). The
+    # slot machine's shapes are static: packed phonemes <= the phoneme
+    # bucket, prompts <= the prompt bucket, decode ring slot_ring tokens
+    # (rounded up to a slot_steps multiple). per-request min/max steps are
+    # dynamic per-row values — no ladder recompiles.
+    slot_batch: int = 8
+    slot_steps: int = 32
+    slot_ring: int = 512
+    slot_phoneme_bucket: int = 192
+    slot_prompt_bucket: int = 192
     # Pallas flash-decode attention in the AR loop (TPU only; measured
     # neutral at B=1, revisit for large-batch serving). GENIE_FLASH_DECODE=1.
     use_flash_decode: bool = dataclasses.field(
@@ -185,6 +198,13 @@ class RuntimeConfig:
     batch_window_ms: float = dataclasses.field(
         default_factory=lambda: float(
             os.environ.get("GENIE_BATCH_WINDOW_MS", 8.0)))
+    # In-flight slot serving: default-sampling /tts requests that fit the
+    # slot buckets join a PERSISTENT decode machine at the next ~slot_steps
+    # segment instead of waiting out a whole window batch.
+    # GENIE_SLOT_SERVING=0 falls back to window batching only.
+    serve_slots: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_SLOT_SERVING", "1").lower() not in ("0", "false", "off"))
     # Mesh
     dp_axis: str = "dp"
     tp_axis: str = "tp"

@@ -1,0 +1,278 @@
+"""In-flight (slot-based) continuous batching for the T2S decoder.
+
+The window batcher (runtime/batcher.py) coalesces requests that arrive
+within a few ms and decodes them as one batch — but a request arriving
+mid-batch waits for the whole batch to finish (hundreds of ms under
+load). Here the decoder runs as a persistent B-slot machine: one shared
+decode loop advances all occupied slots W steps per dispatch ("segment"),
+and the host may insert a new request into a free slot *between*
+segments. Join latency is one segment (~W steps) instead of one batch.
+
+This is the vLLM-style in-flight batching idea mapped to XLA static
+shapes (the reference serves strictly one utterance at a time —
+``/root/reference/src/genie_tts/Server.py:87-141``):
+
+* every shape is static: B slots, phoneme/prompt buckets, a decode RING
+  of ``ring_len`` key/value columns per slot;
+* per-row join times are handled by MASKS, not dynamic shapes: a slot's
+  visible ring columns are the last ``keys_written[b]`` global writes;
+* all slots share one row-uniform write head, so cache updates stay
+  dense ``dynamic_update_slice`` ops (never scatters): within a segment
+  new K/V columns collect in a small buffer (see
+  ``t2s._layer_decode_buffered``), and one merge per segment writes them
+  at ``ring_head`` — uniform across rows because every slot writes every
+  step (finished/empty slots write garbage that their masks hide).
+
+Ring invariant: a slot decodes at most ``ring_len`` tokens, and ring slot
+j is rewritten every ``ring_len`` global steps — by then any row that
+wrote j has either finished or exceeded its cap, so no valid column is
+ever clobbered. ``ring_len`` must be a multiple of W so a segment's merge
+never wraps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import T2SConfig
+from ..ops.sampling import SamplingConfig, sample_token
+from . import t2s
+
+
+class SlotState(NamedTuple):
+    """Device-resident decode state for B slots (donate into each segment)."""
+
+    k_cache: jnp.ndarray      # [L,B,H,Dh,S]  S = Sx+Sp+ring_len, kv-major
+    v_cache: jnp.ndarray      # [L,B,H,Dh,S]
+    cur_tok: jnp.ndarray      # [B] last sampled token per row
+    keys_written: jnp.ndarray  # [B] ring columns this row has written
+    counts: jnp.ndarray       # [B] tokens emitted (frozen once done)
+    done: jnp.ndarray         # [B] bool — row finished (EOS or cap)
+    active: jnp.ndarray       # [B] bool — slot occupied
+    hist: jnp.ndarray         # [B,V] repetition-penalty histogram
+    x_len: jnp.ndarray        # [B]
+    p_len: jnp.ndarray        # [B]
+    min_steps: jnp.ndarray    # [B]
+    max_steps: jnp.ndarray    # [B] per-row decode cap (<= ring_len)
+    ring_head: jnp.ndarray    # [] int32 — next global write column in [0, ring_len)
+
+
+def init_slots(cfg: T2SConfig, n_slots: int, sx: int, sp: int, ring_len: int,
+               dtype=jnp.bfloat16) -> SlotState:
+    L, H, Dh, V = (cfg.num_layers, cfg.num_heads, cfg.head_dim,
+                   cfg.semantic_vocab)
+    S = sx + sp + ring_len
+    B = n_slots
+    z = jnp.zeros
+    return SlotState(
+        k_cache=z((L, B, H, Dh, S), dtype), v_cache=z((L, B, H, Dh, S), dtype),
+        cur_tok=z((B,), jnp.int32), keys_written=z((B,), jnp.int32),
+        counts=z((B,), jnp.int32), done=jnp.ones((B,), bool),
+        active=z((B,), bool), hist=z((B, V), jnp.int32),
+        x_len=z((B,), jnp.int32), p_len=z((B,), jnp.int32),
+        min_steps=z((B,), jnp.int32),
+        max_steps=jnp.full((B,), ring_len, jnp.int32),
+        ring_head=jnp.int32(0),
+    )
+
+
+def prefill_join(
+    params: t2s.Params,
+    cfg: T2SConfig,
+    scfg: SamplingConfig,
+    key: jax.Array,
+    phones: jnp.ndarray,        # [1, Sx] packed [ref_text | text], slot bucket
+    bert,                       # [1, Sx, bert_dim] or None
+    x_len: jnp.ndarray,         # [1]
+    prompts: jnp.ndarray,       # [1, Sp]
+    p_len: jnp.ndarray,         # [1]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One request's prefill at the slot geometry.
+
+    Returns (ctx_k [L,1,H,Dh,Sx+Sp], ctx_v, tok0 [1], hist [1,V]) ready for
+    :func:`insert_slot`. Mirrors the head of :func:`t2s.generate`
+    (first-draw EOS mask included).
+    """
+    Sx, Sp = phones.shape[1], prompts.shape[1]
+    V = cfg.semantic_vocab
+    if bert is None:
+        bert = jnp.zeros(phones.shape + (cfg.bert_dim,), jnp.float32)
+    x = t2s.embed_text(params, phones, bert)
+    logits0, (k_ctx, v_ctx) = t2s.prefill(params, cfg, x, x_len, prompts,
+                                          p_len, cache_len=Sx + Sp)
+    k_ctx = jnp.swapaxes(k_ctx, -1, -2)     # kv-major [L,1,H,Dh,Sx+Sp]
+    v_ctx = jnp.swapaxes(v_ctx, -1, -2)
+    hist = jnp.zeros((1, V), jnp.int32)
+    prompt_valid = jnp.arange(Sp)[None, :] < p_len[:, None]
+    hist = hist.at[jnp.zeros((1, 1), jnp.int32),
+                   prompts].add(prompt_valid.astype(jnp.int32))
+    forbid_eos = jnp.zeros((V,), bool).at[cfg.eos_id].set(True)
+    tok0 = sample_token(key, logits0, hist, scfg, forbid=forbid_eos)
+    hist = hist + jax.nn.one_hot(tok0, V, dtype=jnp.int32)
+    return k_ctx, v_ctx, tok0, hist
+
+
+def insert_slot(
+    state: SlotState,
+    slot: jnp.ndarray,          # [] int32 slot index
+    ctx_k: jnp.ndarray,         # [L,1,H,Dh,Sx+Sp]
+    ctx_v: jnp.ndarray,
+    tok0: jnp.ndarray,          # [1]
+    hist: jnp.ndarray,          # [1,V]
+    x_len: jnp.ndarray,         # [] int32
+    p_len: jnp.ndarray,         # [] int32
+    min_steps: jnp.ndarray,     # [] int32
+    max_steps: jnp.ndarray,     # [] int32
+) -> SlotState:
+    """Claim a slot for a prefetched request (jit with donated state)."""
+    b = slot
+
+    def set1(vec, val):
+        return vec.at[b].set(val)
+
+    k_cache = jax.lax.dynamic_update_slice(
+        state.k_cache, ctx_k.astype(state.k_cache.dtype), (0, b, 0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        state.v_cache, ctx_v.astype(state.v_cache.dtype), (0, b, 0, 0, 0))
+    hist_all = jax.lax.dynamic_update_slice_in_dim(
+        state.hist, hist, b, axis=0)
+    return state._replace(
+        k_cache=k_cache, v_cache=v_cache,
+        cur_tok=set1(state.cur_tok, tok0[0]),
+        keys_written=set1(state.keys_written, 0),
+        counts=set1(state.counts, 1),
+        done=set1(state.done, False),
+        active=set1(state.active, True),
+        hist=hist_all,
+        x_len=set1(state.x_len, x_len),
+        p_len=set1(state.p_len, p_len),
+        min_steps=set1(state.min_steps, min_steps),
+        max_steps=set1(state.max_steps, max_steps),
+    )
+
+
+def release_slot(state: SlotState, slot: jnp.ndarray) -> SlotState:
+    """Free a harvested slot (its cache columns are garbage behind masks)."""
+    return state._replace(
+        active=state.active.at[slot].set(False),
+        done=state.done.at[slot].set(True),
+    )
+
+
+def decode_segment(
+    params: t2s.Params,
+    state: SlotState,
+    key: jax.Array,
+    cfg: T2SConfig,
+    scfg: SamplingConfig,
+    seg_steps: int,
+    sx: int,
+    sp: int,
+    ring_len: int,
+    layer_unroll: int = 1,
+) -> Tuple[SlotState, jnp.ndarray]:
+    """Advance every occupied slot ``seg_steps`` decode steps (one dispatch).
+
+    Returns (state', seg_tokens [B, seg_steps]) — tokens sampled this
+    segment per row; rows that are done/empty repeat EOS. The per-step
+    K/V columns collect in a [L,B,H,Dh,W] buffer via
+    :func:`t2s._layer_decode_buffered`; one merge writes them to the ring
+    at the (row-uniform) ring head. ``ring_len % seg_steps == 0``.
+    """
+    assert ring_len % seg_steps == 0, "segment must not wrap the ring"
+    W = seg_steps
+    L, B, H, Dh, S = state.k_cache.shape
+    V = cfg.semantic_vocab
+    Sx, Sp = sx, sp
+    pe_full = t2s.sine_position_table(Sx + Sp + ring_len, cfg.embed_dim,
+                                      dtype=jnp.float32)
+    kv_positions = jnp.arange(S)[None, :]
+    gumbel = jax.random.gumbel(key, (W, B, V), dtype=jnp.float32)
+    forbid_eos = jnp.zeros((V,), bool).at[cfg.eos_id].set(True)
+    head0 = state.ring_head
+
+    # ring visibility is frozen for the whole segment: column j holds the
+    # write of age (head0 - 1 - j) mod ring_len; a row sees its last
+    # keys_written writes (in-segment columns live in the buffer)
+    ring_pos = jnp.arange(ring_len)[None, :]
+    age = jnp.mod(head0 - 1 - ring_pos, ring_len)
+    ring_valid = age < state.keys_written[:, None]              # [B, ring]
+    kv_mask = (
+        (kv_positions < state.x_len[:, None])
+        | ((kv_positions >= Sx) & (kv_positions < Sx + state.p_len[:, None]))
+    )
+    kv_mask = kv_mask.at[:, Sx + Sp:].set(ring_valid)
+
+    def inner(i, carry):
+        (cur_tok, keys_written, counts, done, hist, seg_tokens,
+         k_buf, v_buf) = carry
+        emb = params["audio_embed"][cur_tok]                    # [B, D]
+        audio_pos = state.p_len + keys_written                  # [B]
+        pos_emb = pe_full[audio_pos]
+        h = (emb + (params["audio_pos_alpha"] * pos_emb).astype(emb.dtype)
+             )[:, None]
+        buf_mask = jnp.arange(W) < i
+
+        def layer_body(h, inputs):
+            lp, kb, vb, kbuf, vbuf = inputs
+            h, k_new, v_new = t2s._layer_decode_buffered(
+                lp, h, kb, vb, kbuf, vbuf, buf_mask, kv_mask, H)
+            return h, (k_new, v_new)
+
+        h, (k_cols, v_cols) = jax.lax.scan(
+            layer_body, h,
+            (params["layers"], state.k_cache, state.v_cache, k_buf, v_buf),
+            unroll=layer_unroll)
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_cols[..., None], i, axis=4)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_cols[..., None], i, axis=4)
+
+        logits = jnp.dot(h[:, 0].astype(jnp.float32),
+                         params["predict"]["w"].astype(jnp.float32))
+        # per-row EOS gate: below min_steps EOS is masked out of sampling
+        row_step = keys_written + 1                              # tokens so far
+        eos_blocked = row_step < state.min_steps                 # [B]
+        forbid = forbid_eos[None, :] & eos_blocked[:, None]
+        noise = jax.lax.dynamic_index_in_dim(gumbel, i, keepdims=False)
+        nxt = sample_token(None, logits, hist, scfg, forbid=forbid,
+                           noise=noise)
+        argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
+        eos_ok = row_step >= state.min_steps
+        now_done = (argmax_eos | (nxt == cfg.eos_id)) & eos_ok
+        # mirror t2s.generate's bookkeeping exactly: a row samples while
+        # row_step < max_steps and flips done once row_step+1 reaches it
+        alive = state.active & ~done & (row_step < state.max_steps)
+        nxt = jnp.where(alive, nxt, cfg.eos_id)
+        seg_tokens = seg_tokens.at[:, i].set(nxt)
+        hist = hist + jax.nn.one_hot(nxt, V, dtype=jnp.int32) * (
+            alive).astype(jnp.int32)[:, None]
+        keys_written = keys_written + alive.astype(jnp.int32)
+        counts = jnp.where(alive, counts + 1, counts)
+        done = done | now_done | (row_step + 1 >= state.max_steps)
+        return (nxt, keys_written, counts, done, hist, seg_tokens,
+                k_buf, v_buf)
+
+    k_buf = jnp.zeros((L, B, H, Dh, W), state.k_cache.dtype)
+    v_buf = jnp.zeros((L, B, H, Dh, W), state.v_cache.dtype)
+    seg_tokens0 = jnp.full((B, W), cfg.eos_id, jnp.int32)
+    (cur_tok, keys_written, counts, done, hist, seg_tokens, k_buf, v_buf) = \
+        jax.lax.fori_loop(
+            0, W, inner,
+            (state.cur_tok, state.keys_written, state.counts, state.done,
+             state.hist, seg_tokens0, k_buf, v_buf))
+
+    # merge the segment's W columns at the (uniform) ring head
+    base = Sx + Sp + head0
+    k_cache = jax.lax.dynamic_update_slice(
+        state.k_cache, k_buf, (0, 0, 0, 0, base))
+    v_cache = jax.lax.dynamic_update_slice(
+        state.v_cache, v_buf, (0, 0, 0, 0, base))
+    state = state._replace(
+        k_cache=k_cache, v_cache=v_cache, cur_tok=cur_tok,
+        keys_written=keys_written, counts=counts, done=done, hist=hist,
+        ring_head=jnp.mod(head0 + W, ring_len),
+    )
+    return state, seg_tokens

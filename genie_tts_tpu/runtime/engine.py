@@ -451,6 +451,44 @@ class TTSEngine:
             return np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
         return audio
 
+    def vocode_codes(
+        self,
+        char: CharacterModel,
+        ref: ReferenceFeatures,
+        text_phones: np.ndarray,
+        codes: np.ndarray,
+        seed: int = 0,
+        noise_scale: float = 0.5,
+        pcm16: bool = False,
+    ) -> np.ndarray:
+        """Semantic codes -> waveform for one utterance.
+
+        Tail of the pipeline for callers that ran T2S themselves (the slot
+        batcher decodes many requests in one shared loop and vocodes each
+        as it finishes). ``codes``: [n] int32 finalized semantic tokens.
+        """
+        vcfg = char.sovits_cfg
+        n_codes = int(len(codes))
+        if n_codes == 0:
+            return np.zeros(0, np.int16 if pcm16 else np.float32)
+        c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
+        codes_b = pad_to(codes.astype(np.int32), c_bucket)[None]
+        t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
+        n_arr = np.array([n_codes], np.int32)
+        z = self._latent(
+            char.sovits_params, vcfg, jax.random.PRNGKey(seed),
+            codes_b, n_arr,
+            pad_to(text_phones.astype(np.int32), t_bucket)[None],
+            np.array([len(text_phones)], np.int32),
+            ref.ge_dev, ref.ge_mrte_dev, noise_scale)
+        audio = self._vocode_audio(char, z, ref.ge_dev, n_arr)
+        audio = audio[0, : 2 * n_codes * vcfg.hop_length].astype(np.float32)
+        metrics.incr("utterances")
+        if pcm16:
+            return np.round(
+                np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        return audio
+
     def _vocode_audio(self, char: CharacterModel, z, ge, codes_len) -> np.ndarray:
         """Chunked HiFi-GAN over the latent: bounded memory, streaming-ready.
 

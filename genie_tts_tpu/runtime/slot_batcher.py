@@ -1,0 +1,221 @@
+"""In-flight continuous batching scheduler (slot engine).
+
+The window batcher (batcher.py) groups arrivals within a few ms and runs
+them as one batch — a request landing mid-batch waits for the WHOLE batch
+(hundreds of ms under load). This scheduler keeps a persistent B-slot
+decode machine on the device (models/slots.py): every dispatch advances
+all occupied slots ``slot_steps`` tokens, and new requests claim free
+slots between dispatches. Join latency is one segment (tens of ms), and
+per-request ``min_steps``/``max_steps`` are dynamic per-row values — no
+per-ladder recompiles.
+
+One scheduler serves one character (the slot caches embed its weights'
+geometry); the HTTP layer keeps a batcher per loaded character.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..models import slots as slots_mod
+from ..models.t2s import finalize_semantic_tokens
+from ..ops.sampling import SamplingConfig
+from ..utils.metrics import metrics
+from .buckets import pad_to
+from .engine import CharacterModel, ReferenceFeatures, TTSEngine
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    ref: ReferenceFeatures
+    phones: np.ndarray
+    bert: np.ndarray
+    min_steps: int
+    max_steps: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
+    # filled at insert time
+    tok0: int = 0
+    seg_tokens: List[np.ndarray] = field(default_factory=list)
+
+
+class SlotBatcher:
+    """Persistent B-slot decode loop with between-segment joins."""
+
+    def __init__(self, engine: TTSEngine, char: CharacterModel,
+                 scfg: Optional[SamplingConfig] = None):
+        self.engine = engine
+        self.char = char
+        self.cfg = engine.cfg
+        self.scfg = scfg or SamplingConfig()
+        tcfg = char.t2s_cfg
+        self.n_slots = self.cfg.slot_batch
+        self.W = self.cfg.slot_steps
+        self.ring = -(-min(self.cfg.slot_ring, tcfg.max_decode_steps)
+                      // self.W) * self.W
+        self.sx = self.cfg.slot_phoneme_bucket
+        self.sp = self.cfg.slot_prompt_bucket
+        self._unroll = engine._unroll(tcfg)
+
+        self._decode_seg = jax.jit(
+            functools.partial(
+                slots_mod.decode_segment, cfg=tcfg, scfg=self.scfg,
+                seg_steps=self.W, sx=self.sx, sp=self.sp,
+                ring_len=self.ring, layer_unroll=self._unroll),
+            donate_argnames=("state",))
+        self._prefill_join = jax.jit(
+            functools.partial(slots_mod.prefill_join, cfg=tcfg,
+                              scfg=self.scfg))
+        self._insert = jax.jit(slots_mod.insert_slot,
+                               donate_argnames=("state",))
+        self._release = jax.jit(slots_mod.release_slot,
+                                donate_argnames=("state",))
+
+        self._state = slots_mod.init_slots(
+            tcfg, self.n_slots, self.sx, self.sp, self.ring,
+            dtype=char.t2s_params["audio_embed"].dtype)
+        self._slots: List[Optional[_Request]] = [None] * self.n_slots
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._seg_counter = 0
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._vocoder = ThreadPoolExecutor(max_workers=2,
+                                           thread_name_prefix="slot-vocode")
+
+    # -- public -----------------------------------------------------------
+
+    def start(self) -> None:
+        with self._lock:
+            if self._running:
+                return
+            self._running = True
+            self._thread = threading.Thread(target=self._loop, daemon=True,
+                                            name="tts-slots")
+            self._thread.start()
+
+    def stop(self) -> None:
+        with self._lock:
+            self._running = False
+
+    def fits(self, ref: ReferenceFeatures, phones: np.ndarray) -> bool:
+        """Whether a request fits the slot machine's static geometry."""
+        return (len(ref.phones) + len(phones) <= self.sx
+                and len(ref.prompt_tokens) <= self.sp)
+
+    def synthesize(self, ref: ReferenceFeatures, phones: np.ndarray,
+                   bert: np.ndarray, timeout: Optional[float] = None,
+                   min_steps: int = 0,
+                   max_steps: Optional[int] = None) -> np.ndarray:
+        """Blocking submit; decodes in-flight with concurrent requests."""
+        self.start()
+        max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
+                        self.ring)
+        req = _Request(ref, phones.astype(np.int32), bert,
+                       min_steps=min(min_steps, max_steps),
+                       max_steps=max_steps)
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("slot-batched synthesis timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # -- scheduler --------------------------------------------------------
+
+    def _occupied(self) -> bool:
+        return any(r is not None for r in self._slots)
+
+    def _fill_slots(self, block: bool) -> None:
+        free = [i for i, r in enumerate(self._slots) if r is None]
+        while free:
+            try:
+                req = self._q.get(timeout=0.2) if block else \
+                    self._q.get_nowait()
+            except queue.Empty:
+                return
+            block = False
+            b = free.pop(0)
+            try:
+                self._insert_request(b, req)
+            except BaseException as e:  # noqa: BLE001 — bad request only
+                req.error = e
+                req.done.set()
+                free.insert(0, b)
+
+    def _insert_request(self, b: int, req: _Request) -> None:
+        ref, phones = req.ref, req.phones
+        packed = np.concatenate([ref.phones, phones]).astype(np.int32)
+        if len(packed) > self.sx or len(ref.prompt_tokens) > self.sp:
+            raise ValueError(
+                f"request exceeds slot buckets ({len(packed)} phonemes > "
+                f"{self.sx} or {len(ref.prompt_tokens)} prompts > {self.sp})")
+        if np.any(ref.bert) or np.any(req.bert):
+            bert = pad_to(np.concatenate([ref.bert, req.bert])
+                          .astype(np.float32), self.sx, axis=0)[None]
+        else:
+            bert = None  # all-zero BERT built on device (JA/EN path)
+        key = jax.random.PRNGKey(self._seg_counter * 131071 + b)
+        ctx_k, ctx_v, tok0, hist = self._prefill_join(
+            self.char.t2s_params, key=key,
+            phones=pad_to(packed, self.sx)[None], bert=bert,
+            x_len=np.array([len(packed)], np.int32),
+            prompts=ref.prompts_dev(self.sp),
+            p_len=np.array([len(ref.prompt_tokens)], np.int32))
+        req.tok0 = int(jax.device_get(tok0)[0])
+        self._state = self._insert(
+            self._state, np.int32(b), ctx_k, ctx_v, tok0, hist,
+            np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
+            np.int32(req.min_steps), np.int32(req.max_steps))
+        self._slots[b] = req
+
+    def _harvest(self, seg_tok: np.ndarray, done: np.ndarray,
+                 counts: np.ndarray) -> None:
+        for b, req in enumerate(self._slots):
+            if req is None:
+                continue
+            req.seg_tokens.append(seg_tok[b])
+            if done[b]:
+                self._slots[b] = None
+                self._state = self._release(self._state, np.int32(b))
+                self._vocoder.submit(self._complete, req, int(counts[b]))
+
+    def _complete(self, req: _Request, count: int) -> None:
+        try:
+            toks = np.concatenate([[req.tok0]] + req.seg_tokens)[:count]
+            codes = finalize_semantic_tokens(
+                toks[None], np.array([count]), self.char.t2s_cfg.eos_id)[0]
+            req.result = self.engine.vocode_codes(
+                self.char, req.ref, req.phones, codes)
+            metrics.incr("slot_utterances")
+        except BaseException as e:  # noqa: BLE001 — surface to the waiter
+            logger.exception("slot request completion failed")
+            req.error = e
+        finally:
+            req.done.set()
+
+    def _loop(self) -> None:
+        while self._running:
+            self._fill_slots(block=not self._occupied())
+            if not self._occupied():
+                continue
+            self._seg_counter += 1
+            key = jax.random.PRNGKey(self._seg_counter)
+            with metrics.timer("slot_segment"):
+                self._state, seg_tok = self._decode_seg(
+                    self.char.t2s_params, self._state, key)
+                # one small blocking fetch per segment (tokens + flags)
+                tok_np, done_np, counts_np = jax.device_get(
+                    (seg_tok, self._state.done, self._state.counts))
+            self._harvest(tok_np, done_np, counts_np)

@@ -95,30 +95,49 @@ def _post(path, payload, timeout=300):
     return urllib.request.urlopen(req, timeout=timeout)
 
 
-def test_concurrent_tts_batches_on_chip():
-    metrics.reset()
-    # first request alone compiles the batch graphs
-    r = _post("/tts", {"character_name": "batchy", "text": "こんにちは。",
-                       "split_sentence": False})
-    assert len(r.read()) > 0
+def _run_concurrent(n=4):
+    results = [None] * n
 
-    results = [None] * 4
     def worker(i):
         r = _post("/tts", {"character_name": "batchy",
                            "text": "こんにちは、せかい。",
                            "split_sentence": False})
         results[i] = r.read()
 
-    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
     for t in threads:
         t.start()
     for t in threads:
         t.join(timeout=600)
     assert all(r is not None and len(r) > 0 for r in results)
 
-    sizes = list(metrics._stats["batch_size"].samples)
-    assert sizes, "batcher never ran"
-    assert max(sizes) >= 2, f"requests never coalesced: {sizes}"
+
+def test_concurrent_tts_joins_slot_machine():
+    """Default /tts path: requests join the in-flight slot batcher."""
+    metrics.reset()
+    # first request alone compiles the slot graphs
+    r = _post("/tts", {"character_name": "batchy", "text": "こんにちは。",
+                       "split_sentence": False})
+    assert len(r.read()) > 0
+    _run_concurrent(4)
+    done = metrics.snapshot()["counters"].get("slot_utterances", 0)
+    assert done >= 5, f"slot batcher served {done} requests"
+
+
+def test_concurrent_tts_window_batches_when_slots_off():
+    """GENIE_SLOT_SERVING=0 path: requests coalesce in the window batcher."""
+    metrics.reset()
+    object.__setattr__(api.engine.cfg, "serve_slots", False)
+    try:
+        r = _post("/tts", {"character_name": "batchy", "text": "こんにちは。",
+                           "split_sentence": False})
+        assert len(r.read()) > 0
+        _run_concurrent(4)
+        sizes = list(metrics._stats["batch_size"].samples)
+        assert sizes, "batcher never ran"
+        assert max(sizes) >= 2, f"requests never coalesced: {sizes}"
+    finally:
+        object.__setattr__(api.engine.cfg, "serve_slots", True)
 
 
 def test_stream_flag_bypasses_batcher():
