@@ -249,6 +249,96 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# serving stage skipped: {e}", file=sys.stderr)
 
+    # ---- in-flight slot serving (the default /tts path): 6 clients whose
+    # requests JOIN the persistent decode machine between ~32-step segments
+    slots_utt_per_sec = slots_p50_ms = None
+    try:
+        if fast:
+            raise RuntimeError("skipped (GENIE_BENCH_FAST)")
+        import threading
+
+        from genie_tts_tpu.runtime.slot_batcher import SlotBatcher
+
+        slot_b = SlotBatcher(engine, char)
+        req_lat = []
+        lat_lock = threading.Lock()
+        N_CLIENTS, N_REQ = 6, 6
+
+        def s_client(cid):
+            for j in range(N_REQ):
+                s = suite[(cid * N_REQ + j) % len(suite)]
+                ph = phones_cache[s]
+                bert = np.zeros((len(ph), tcfg.bert_dim), np.float32)
+                t1 = time.perf_counter()
+                slot_b.synthesize(ref, ph, bert, timeout=900,
+                                  min_steps=150, max_steps=206)
+                with lat_lock:
+                    req_lat.append(time.perf_counter() - t1)
+
+        # compile pass: vocode ladder + prefill/insert/segment graphs
+        slot_b.warmup(ref, phones_cache[suite[0]], max_steps=206)
+        req_lat.clear()
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=s_client, args=(i,))
+                   for i in range(N_CLIENTS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        t_serve = time.perf_counter() - t0
+        slots_utt_per_sec = (N_CLIENTS * N_REQ) / t_serve
+        slots_p50_ms = float(np.percentile(req_lat, 50)) * 1000
+    except Exception as e:  # noqa: BLE001
+        slot_b = None
+        print(f"# slot serving stage skipped: {e}", file=sys.stderr)
+
+    # ---- open-loop (staggered arrivals, ~6.7 req/s offered): the join-
+    # latency showcase — a window batch makes arrivals wait out the batch
+    # in flight; slot joins land at the next ~32-step segment
+    open_window_p50_ms = open_slots_p50_ms = None
+    try:
+        if fast or slot_b is None:
+            raise RuntimeError("skipped")
+        import threading
+
+        def open_loop(submit, n=30, gap=0.15):
+            lat, threads = [], []
+            lock = threading.Lock()
+
+            def one(i):
+                t1 = time.perf_counter()
+                submit(i)
+                with lock:
+                    lat.append(time.perf_counter() - t1)
+
+            for i in range(n):
+                th = threading.Thread(target=one, args=(i,))
+                th.start()
+                threads.append(th)
+                time.sleep(gap)
+            for th in threads:
+                th.join()
+            return float(np.percentile(lat, 50)) * 1000
+
+        def sub_window(i):
+            ph = phones_cache[suite[i % len(suite)]]
+            bert = np.zeros((len(ph), tcfg.bert_dim), np.float32)
+            batcher.synthesize(char, ref, ph, bert, sampling=scfg,
+                               timeout=600, max_steps=206, min_steps=150)
+
+        def sub_slots(i):
+            ph = phones_cache[suite[i % len(suite)]]
+            bert = np.zeros((len(ph), tcfg.bert_dim), np.float32)
+            slot_b.synthesize(ref, ph, bert, timeout=600,
+                              max_steps=206, min_steps=150)
+
+        open_window_p50_ms = open_loop(sub_window)
+        open_slots_p50_ms = open_loop(sub_slots)
+        batcher.stop()
+        slot_b.stop()
+    except Exception as e:  # noqa: BLE001
+        print(f"# open-loop stage skipped: {e}", file=sys.stderr)
+
     result = {
         "metric": "ja100_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -269,6 +359,14 @@ def main():
                                      if serving_utt_per_sec else None),
             "serving6_p50_ms": (round(serving_p50_ms, 1)
                                 if serving_p50_ms else None),
+            "slots6_utt_per_sec": (round(slots_utt_per_sec, 2)
+                                   if slots_utt_per_sec else None),
+            "slots6_p50_ms": (round(slots_p50_ms, 1)
+                              if slots_p50_ms else None),
+            "open_window_p50_ms": (round(open_window_p50_ms, 1)
+                                   if open_window_p50_ms else None),
+            "open_slots_p50_ms": (round(open_slots_p50_ms, 1)
+                                  if open_slots_p50_ms else None),
             "min_steps_ladder": list(MIN_STEPS_LADDER),
             "compile_s": round(compile_s, 1),
         },

@@ -467,27 +467,56 @@ class TTSEngine:
         batcher decodes many requests in one shared loop and vocodes each
         as it finishes). ``codes``: [n] int32 finalized semantic tokens.
         """
-        vcfg = char.sovits_cfg
-        n_codes = int(len(codes))
-        if n_codes == 0:
-            return np.zeros(0, np.int16 if pcm16 else np.float32)
-        c_bucket = pick_bucket(n_codes, self.cfg.frame_buckets)
-        codes_b = pad_to(codes.astype(np.int32), c_bucket)[None]
-        t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
-        n_arr = np.array([n_codes], np.int32)
-        z = self._latent(
-            char.sovits_params, vcfg, jax.random.PRNGKey(seed),
-            codes_b, n_arr,
-            pad_to(text_phones.astype(np.int32), t_bucket)[None],
-            np.array([len(text_phones)], np.int32),
-            ref.ge_dev, ref.ge_mrte_dev, noise_scale)
-        audio = self._vocode_audio(char, z, ref.ge_dev, n_arr)
-        audio = audio[0, : 2 * n_codes * vcfg.hop_length].astype(np.float32)
-        metrics.incr("utterances")
+        audio = self.vocode_codes_batch(
+            char, [(ref, text_phones, codes)], seed=seed,
+            noise_scale=noise_scale)[0]
         if pcm16:
             return np.round(
                 np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
         return audio
+
+    def vocode_codes_batch(
+        self,
+        char: CharacterModel,
+        items: "list[tuple[ReferenceFeatures, np.ndarray, np.ndarray]]",
+        seed: int = 0,
+        noise_scale: float = 0.5,
+        b_buckets: "Optional[tuple]" = None,
+    ) -> "list[np.ndarray]":
+        """Batched codes -> waveform tail: [(ref, text_phones, codes)].
+
+        Rows finishing in the same slot segment vocode as ONE latent +
+        HiFi-GAN dispatch chain — per-row solo vocoding was the slot
+        batcher's dominant serving cost (each row pays its own dispatch +
+        fetch round trips). ``b_buckets`` overrides the batch-pad ladder
+        (the slot batcher pads to {1, n_slots} so completions only ever
+        hit graphs the solo and full-batch paths have already compiled).
+        """
+        vcfg = char.sovits_cfg
+        B = len(items)
+        lens = np.array([len(c) for (_, _, c) in items], np.int32)
+        if B == 0 or int(lens.max()) == 0:
+            return [np.zeros(0, np.float32) for _ in items]
+        B_pad = max(pick_bucket(B, b_buckets or self.cfg.batch_buckets), B)
+        items = list(items) + [items[0]] * (B_pad - B)
+        lens = np.concatenate([lens, lens[:1].repeat(B_pad - B)])
+        c_bucket = pick_bucket(int(lens.max()), self.cfg.frame_buckets)
+        codes_b = np.stack([
+            pad_to(c[:c_bucket].astype(np.int32), c_bucket)
+            for (_, _, c) in items])
+        t_lens = np.array([len(tp) for (_, tp, _) in items], np.int32)
+        t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
+        text_b = np.stack([pad_to(tp.astype(np.int32), t_bucket)
+                           for (_, tp, _) in items])
+        ge_b = jnp.concatenate([r.ge_dev for (r, _, _) in items], axis=0)
+        gm_b = jnp.concatenate([r.ge_mrte_dev for (r, _, _) in items], axis=0)
+        z = self._latent(
+            char.sovits_params, vcfg, jax.random.PRNGKey(seed),
+            codes_b, lens, text_b, t_lens, ge_b, gm_b, noise_scale)
+        audio = self._vocode_audio(char, z, ge_b, lens)
+        metrics.incr("utterances", B)
+        return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length]
+                .astype(np.float32) for i in range(B)]
 
     def _vocode_audio(self, char: CharacterModel, z, ge, codes_len) -> np.ndarray:
         """Chunked HiFi-GAN over the latent: bounded memory, streaming-ready.

@@ -46,8 +46,9 @@ class _Request:
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
     # filled at insert time
-    tok0: int = 0
+    tok0_dev: object = None   # [1] device array; fetched at completion
     seg_tokens: List[np.ndarray] = field(default_factory=list)
+    harvested: bool = False
 
 
 class SlotBatcher:
@@ -68,23 +69,42 @@ class SlotBatcher:
         self.sp = self.cfg.slot_prompt_bucket
         self._unroll = engine._unroll(tcfg)
 
-        self._decode_seg = jax.jit(
-            functools.partial(
-                slots_mod.decode_segment, cfg=tcfg, scfg=self.scfg,
-                seg_steps=self.W, sx=self.sx, sp=self.sp,
-                ring_len=self.ring, layer_unroll=self._unroll),
-            donate_argnames=("state",))
+        # Donation is split: ONLY the big KV caches donate (in-place reuse
+        # across dispatches). The small state leaves (done/counts/...) and
+        # seg_tokens must SURVIVE the next dispatch — the depth-1 pipelined
+        # loop fetches segment k's outputs after dispatching k+1.
+        def seg_fn(params, kc, vc, small, key):
+            state = small._replace(k_cache=kc, v_cache=vc)
+            state, seg_tok = slots_mod.decode_segment(
+                state=state, params=params, key=key, cfg=tcfg,
+                scfg=self.scfg, seg_steps=self.W, sx=self.sx, sp=self.sp,
+                ring_len=self.ring, layer_unroll=self._unroll)
+            return (state.k_cache, state.v_cache,
+                    state._replace(k_cache=0, v_cache=0), seg_tok)
+
+        def ins_fn(kc, vc, small, slot, ctx_k, ctx_v, tok0, hist,
+                   x_len, p_len, mn, mx):
+            state = small._replace(k_cache=kc, v_cache=vc)
+            state = slots_mod.insert_slot(state, slot, ctx_k, ctx_v, tok0,
+                                          hist, x_len, p_len, mn, mx)
+            return (state.k_cache, state.v_cache,
+                    state._replace(k_cache=0, v_cache=0))
+
+        def rel_fn(small, slot):  # touches flags only — no caches involved
+            return slots_mod.release_slot(small, slot)
+
+        self._decode_seg = jax.jit(seg_fn, donate_argnames=("kc", "vc"))
+        self._insert = jax.jit(ins_fn, donate_argnames=("kc", "vc"))
+        self._release = jax.jit(rel_fn)
         self._prefill_join = jax.jit(
             functools.partial(slots_mod.prefill_join, cfg=tcfg,
                               scfg=self.scfg))
-        self._insert = jax.jit(slots_mod.insert_slot,
-                               donate_argnames=("state",))
-        self._release = jax.jit(slots_mod.release_slot,
-                                donate_argnames=("state",))
 
-        self._state = slots_mod.init_slots(
+        state0 = slots_mod.init_slots(
             tcfg, self.n_slots, self.sx, self.sp, self.ring,
             dtype=char.t2s_params["audio_embed"].dtype)
+        self._kc, self._vc = state0.k_cache, state0.v_cache
+        self._small = state0._replace(k_cache=0, v_cache=0)
         self._slots: List[Optional[_Request]] = [None] * self.n_slots
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._seg_counter = 0
@@ -113,6 +133,28 @@ class SlotBatcher:
         """Whether a request fits the slot machine's static geometry."""
         return (len(ref.phones) + len(phones) <= self.sx
                 and len(ref.prompt_tokens) <= self.sp)
+
+    def warmup(self, ref: ReferenceFeatures, text_phones: np.ndarray,
+               max_steps: Optional[int] = None) -> int:
+        """Compile the serving graphs before traffic: the finisher-vocode
+        batch ladder (finisher group sizes are load-dependent — an unwarmed
+        B bucket would stall a mid-run completion for a full compile), then
+        prefill+insert+segment via one real tiny request."""
+        max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
+                        self.ring)
+        codes = np.zeros(max(max_steps, 1), np.int32)
+        n = 0
+        for b in self.cfg.batch_buckets:
+            if b > self.n_slots:
+                break
+            self.engine.vocode_codes_batch(
+                self.char, [(ref, text_phones, codes)] * b)
+            n += 1
+        bert = np.zeros((len(text_phones), self.char.t2s_cfg.bert_dim),
+                        np.float32)
+        self.synthesize(ref, text_phones, bert, timeout=600,
+                        max_steps=min(2 * self.W, max_steps))
+        return n + 1
 
     def synthesize(self, ref: ReferenceFeatures, phones: np.ndarray,
                    bert: np.ndarray, timeout: Optional[float] = None,
@@ -173,49 +215,84 @@ class SlotBatcher:
             x_len=np.array([len(packed)], np.int32),
             prompts=ref.prompts_dev(self.sp),
             p_len=np.array([len(ref.prompt_tokens)], np.int32))
-        req.tok0 = int(jax.device_get(tok0)[0])
-        self._state = self._insert(
-            self._state, np.int32(b), ctx_k, ctx_v, tok0, hist,
-            np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
+        req.tok0_dev = tok0   # fetched at completion time — a blocking
+        # tok0 round trip here would serialize every join with the loop
+        self._kc, self._vc, self._small = self._insert(
+            self._kc, self._vc, self._small, np.int32(b), ctx_k, ctx_v,
+            tok0, hist, np.int32(len(packed)),
+            np.int32(len(ref.prompt_tokens)),
             np.int32(req.min_steps), np.int32(req.max_steps))
         self._slots[b] = req
 
     def _harvest(self, seg_tok: np.ndarray, done: np.ndarray,
-                 counts: np.ndarray) -> None:
-        for b, req in enumerate(self._slots):
-            if req is None:
+                 counts: np.ndarray,
+                 occupants: List[Optional[_Request]]) -> None:
+        """Collect one fetched segment. ``occupants`` is the slot list AT
+        DISPATCH TIME — with the depth-1 pipeline a finished row can still
+        appear (done) in the next in-flight segment, so completion is
+        guarded by the request's harvested flag."""
+        finished = []
+        for b, req in enumerate(occupants):
+            if req is None or req.harvested:
                 continue
             req.seg_tokens.append(seg_tok[b])
             if done[b]:
-                self._slots[b] = None
-                self._state = self._release(self._state, np.int32(b))
-                self._vocoder.submit(self._complete, req, int(counts[b]))
+                req.harvested = True
+                if self._slots[b] is req:
+                    self._slots[b] = None
+                self._small = self._release(self._small, np.int32(b))
+                finished.append((req, int(counts[b])))
+        if finished:
+            # rows that finished in the same segment vocode as ONE batch
+            self._vocoder.submit(self._complete_many, finished)
 
-    def _complete(self, req: _Request, count: int) -> None:
+    def _complete_many(self, finished) -> None:
+        reqs = [r for r, _ in finished]
         try:
-            toks = np.concatenate([[req.tok0]] + req.seg_tokens)[:count]
-            codes = finalize_semantic_tokens(
-                toks[None], np.array([count]), self.char.t2s_cfg.eos_id)[0]
-            req.result = self.engine.vocode_codes(
-                self.char, req.ref, req.phones, codes)
-            metrics.incr("slot_utterances")
-        except BaseException as e:  # noqa: BLE001 — surface to the waiter
+            items = []
+            for req, count in finished:
+                tok0 = int(jax.device_get(req.tok0_dev)[0])
+                toks = np.concatenate([[tok0]] + req.seg_tokens)[:count]
+                codes = finalize_semantic_tokens(
+                    toks[None], np.array([count]),
+                    self.char.t2s_cfg.eos_id)[0]
+                items.append((req.ref, req.phones, codes))
+            audios = self.engine.vocode_codes_batch(self.char, items)
+            for req, audio in zip(reqs, audios):
+                req.result = audio
+            metrics.incr("slot_utterances", len(reqs))
+        except BaseException as e:  # noqa: BLE001 — surface to the waiters
             logger.exception("slot request completion failed")
-            req.error = e
+            for req in reqs:
+                req.error = e
         finally:
-            req.done.set()
+            for req in reqs:
+                req.done.set()
 
     def _loop(self) -> None:
+        # depth-1 pipeline: dispatch segment k+1 BEFORE the blocking fetch
+        # of segment k's outputs, so the ~25 ms tunnel round trip overlaps
+        # the next segment's device compute. Joins land between dispatches
+        # (<= 2 segments of wait); releases apply to the state after the
+        # in-flight segment, which is safe — done rows are frozen by masks.
+        pending = None  # (seg_tok, done, counts, occupants) of the prior dispatch
         while self._running:
-            self._fill_slots(block=not self._occupied())
-            if not self._occupied():
-                continue
-            self._seg_counter += 1
-            key = jax.random.PRNGKey(self._seg_counter)
-            with metrics.timer("slot_segment"):
-                self._state, seg_tok = self._decode_seg(
-                    self.char.t2s_params, self._state, key)
-                # one small blocking fetch per segment (tokens + flags)
-                tok_np, done_np, counts_np = jax.device_get(
-                    (seg_tok, self._state.done, self._state.counts))
-            self._harvest(tok_np, done_np, counts_np)
+            self._fill_slots(block=not self._occupied() and pending is None)
+            if self._occupied():
+                self._seg_counter += 1
+                key = jax.random.PRNGKey(self._seg_counter)
+                with metrics.timer("slot_segment"):
+                    self._kc, self._vc, self._small, seg_tok = \
+                        self._decode_seg(self.char.t2s_params, self._kc,
+                                         self._vc, self._small, key)
+                dispatched = (seg_tok, self._small.done, self._small.counts,
+                              list(self._slots))
+            else:
+                dispatched = None
+            if pending is not None:
+                seg_tok, done, counts, occupants = pending
+                with metrics.timer("slot_fetch"):
+                    tok_np, done_np, counts_np = jax.device_get(
+                        (seg_tok, done, counts))
+                self._harvest(tok_np, done_np, counts_np, occupants)
+            pending = dispatched

@@ -65,7 +65,36 @@ def main():
           f"(they ran as one batch)")
     batcher.stop()
 
-    # ---- 2. data-parallel serving over a device mesh
+    # ---- 2. in-flight slot batching (the server's default /tts path):
+    # a persistent decode machine; requests JOIN between ~W-step segments
+    # instead of waiting out a whole batch. Staggered arrivals show it off.
+    from genie_tts_tpu.runtime.slot_batcher import SlotBatcher
+
+    slot_engine = TTSEngine(RuntimeConfig(
+        slot_batch=4, slot_steps=4, slot_ring=16,
+        slot_phoneme_bucket=16, slot_prompt_bucket=16))
+    slots = SlotBatcher(slot_engine, char)
+
+    def slot_client(i, results):
+        time.sleep(0.15 * i)  # staggered arrivals join the running batch
+        phones = rng.integers(1, TCFG.phoneme_vocab, 6).astype(np.int32)
+        bert = np.zeros((6, TCFG.bert_dim), np.float32)
+        results[i] = slots.synthesize(ref, phones, bert, timeout=300,
+                                      max_steps=12)
+
+    results = [None] * 4
+    threads = [threading.Thread(target=slot_client, args=(i, results))
+               for i in range(4)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    print(f"4 staggered requests joined the slot machine in "
+          f"{time.perf_counter() - t0:.2f}s (no window waits)")
+    slots.stop()
+
+    # ---- 3. data-parallel serving over a device mesh
     # On a v5e-8 the batch axis shards across 8 chips; on this host the
     # same code runs if enough (virtual) devices exist.
     import jax
