@@ -277,22 +277,54 @@ class SlotBatcher:
         # in-flight segment, which is safe — done rows are frozen by masks.
         pending = None  # (seg_tok, done, counts, occupants) of the prior dispatch
         while self._running:
-            self._fill_slots(block=not self._occupied() and pending is None)
-            if self._occupied():
-                self._seg_counter += 1
-                key = jax.random.PRNGKey(self._seg_counter)
-                with metrics.timer("slot_segment"):
-                    self._kc, self._vc, self._small, seg_tok = \
-                        self._decode_seg(self.char.t2s_params, self._kc,
-                                         self._vc, self._small, key)
-                dispatched = (seg_tok, self._small.done, self._small.counts,
-                              list(self._slots))
-            else:
-                dispatched = None
-            if pending is not None:
-                seg_tok, done, counts, occupants = pending
-                with metrics.timer("slot_fetch"):
-                    tok_np, done_np, counts_np = jax.device_get(
-                        (seg_tok, done, counts))
-                self._harvest(tok_np, done_np, counts_np, occupants)
-            pending = dispatched
+            try:
+                self._fill_slots(block=not self._occupied()
+                                 and pending is None)
+                if self._occupied():
+                    self._seg_counter += 1
+                    key = jax.random.PRNGKey(self._seg_counter)
+                    with metrics.timer("slot_segment"):
+                        self._kc, self._vc, self._small, seg_tok = \
+                            self._decode_seg(self.char.t2s_params, self._kc,
+                                             self._vc, self._small, key)
+                    dispatched = (seg_tok, self._small.done,
+                                  self._small.counts, list(self._slots))
+                else:
+                    dispatched = None
+                if pending is not None:
+                    seg_tok, done, counts, occupants = pending
+                    with metrics.timer("slot_fetch"):
+                        tok_np, done_np, counts_np = jax.device_get(
+                            (seg_tok, done, counts))
+                    self._harvest(tok_np, done_np, counts_np, occupants)
+                pending = dispatched
+            except BaseException as e:  # noqa: BLE001 — device/driver faults
+                # the machine's device state is suspect: fail every waiter
+                # loudly (reference-style worker-boundary isolation) and
+                # rebuild the slot state for subsequent traffic
+                logger.exception("slot scheduler segment failed")
+                pending = None
+                self._fail_all(e)
+                self._reset_state()
+
+    def _fail_all(self, e: BaseException) -> None:
+        for b, req in enumerate(self._slots):
+            if req is not None and not req.harvested:
+                req.harvested = True
+                req.error = e
+                req.done.set()
+            self._slots[b] = None
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = e
+            req.done.set()
+
+    def _reset_state(self) -> None:
+        state0 = slots_mod.init_slots(
+            self.char.t2s_cfg, self.n_slots, self.sx, self.sp, self.ring,
+            dtype=self.char.t2s_params["audio_embed"].dtype)
+        self._kc, self._vc = state0.k_cache, state0.v_cache
+        self._small = state0._replace(k_cache=0, v_cache=0)

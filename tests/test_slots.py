@@ -206,3 +206,46 @@ def test_slot_batcher_end_to_end():
     assert set(outs) == {0, 1, 2}
     for a in outs.values():
         assert a.dtype == np.float32 and len(a) > 0 and np.isfinite(a).all()
+
+
+def test_slot_batcher_survives_segment_failure():
+    """A device-side fault fails waiters loudly, then the machine recovers."""
+    vcfg = SoVITSConfig(
+        spec_channels=33, inter_channels=16, hidden_channels=16,
+        filter_channels=32, n_heads=2, n_layers=2, kernel_size=3,
+        mrte_channels=16, ssl_dim=8, vq_codes=32, vq_dim=8,
+        gin_channels=16, flow_layers=2, wn_layers=2, wn_kernel=5,
+        upsample_rates=(2, 2, 2), upsample_kernels=(4, 4, 4),
+        upsample_initial=32, resblock_kernels=(3,),
+        resblock_dilations=((1, 3),), n_fft=64, hop_length=8, win_length=64)
+    rcfg = RuntimeConfig(
+        phoneme_buckets=(16, 32), prompt_buckets=(16,),
+        frame_buckets=(32, 64), slot_batch=2, slot_steps=8, slot_ring=16,
+        slot_phoneme_bucket=32, slot_prompt_bucket=16)
+    eng = TTSEngine(rcfg)
+    char = make_random_character(t2s_cfg=CFG, sovits_cfg=vcfg,
+                                 dtype=jnp.float32)
+    ref = make_random_reference(char, eng, ref_seconds=0.2)
+
+    from genie_tts_tpu.runtime.slot_batcher import SlotBatcher
+
+    sb = SlotBatcher(eng, char)
+    boom = RuntimeError("injected device fault")
+    real_seg = sb._decode_seg
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise boom
+        return real_seg(*a, **kw)
+
+    sb._decode_seg = flaky
+    ph = np.arange(1, 6, dtype=np.int32)
+    bert = np.zeros((len(ph), CFG.bert_dim), np.float32)
+    with pytest.raises(RuntimeError, match="injected device fault"):
+        sb.synthesize(ref, ph, bert, timeout=120, max_steps=12)
+    # the machine recovered: a fresh request succeeds
+    audio = sb.synthesize(ref, ph, bert, timeout=120, max_steps=12)
+    sb.stop()
+    assert len(audio) > 0 and np.isfinite(audio).all()
