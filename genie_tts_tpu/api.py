@@ -10,6 +10,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import os
+import threading
 from os import PathLike
 from pathlib import Path
 from typing import AsyncIterator, Dict, Optional, Union
@@ -141,17 +142,23 @@ def get_batcher():
 
 
 _slot_batchers: dict = {}
+_slot_batchers_lock = threading.Lock()
 
 
 def get_slot_batcher(char):
-    """Lazy per-character SlotBatcher (in-flight continuous batching)."""
-    sb = _slot_batchers.get(char.name)
-    if sb is None:
-        from .runtime.slot_batcher import SlotBatcher
+    """Lazy per-character SlotBatcher (in-flight continuous batching).
 
-        sb = SlotBatcher(engine, char)
-        _slot_batchers[char.name] = sb
-    return sb
+    Locked: two concurrent first requests must not each build a batcher
+    (the loser would leak a scheduler thread and a full slot KV cache).
+    """
+    with _slot_batchers_lock:
+        sb = _slot_batchers.get(char.name)
+        if sb is None:
+            from .runtime.slot_batcher import SlotBatcher
+
+            sb = SlotBatcher(engine, char)
+            _slot_batchers[char.name] = sb
+        return sb
 
 
 def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = None,

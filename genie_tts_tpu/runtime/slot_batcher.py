@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import slots as slots_mod
@@ -49,6 +50,7 @@ class _Request:
     tok0_dev: object = None   # [1] device array; fetched at completion
     seg_tokens: List[np.ndarray] = field(default_factory=list)
     harvested: bool = False
+    cancelled: bool = False   # waiter gave up (timeout): drop, don't decode
 
 
 class SlotBatcher:
@@ -85,8 +87,12 @@ class SlotBatcher:
         def ins_fn(kc, vc, small, slot, ctx_k, ctx_v, tok0, hist,
                    x_len, p_len, mn, mx):
             state = small._replace(k_cache=kc, v_cache=vc)
+            # ring safety invariant: a row may never decode more tokens
+            # than the ring holds (the merge would clobber its live keys)
+            mx = jnp.minimum(mx, np.int32(self.ring))
             state = slots_mod.insert_slot(state, slot, ctx_k, ctx_v, tok0,
-                                          hist, x_len, p_len, mn, mx)
+                                          hist, x_len, p_len,
+                                          jnp.minimum(mn, mx), mx)
             return (state.k_cache, state.v_cache,
                     state._replace(k_cache=0, v_cache=0))
 
@@ -100,11 +106,7 @@ class SlotBatcher:
             functools.partial(slots_mod.prefill_join, cfg=tcfg,
                               scfg=self.scfg))
 
-        state0 = slots_mod.init_slots(
-            tcfg, self.n_slots, self.sx, self.sp, self.ring,
-            dtype=char.t2s_params["audio_embed"].dtype)
-        self._kc, self._vc = state0.k_cache, state0.v_cache
-        self._small = state0._replace(k_cache=0, v_cache=0)
+        self._reset_state()
         self._slots: List[Optional[_Request]] = [None] * self.n_slots
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._seg_counter = 0
@@ -120,12 +122,18 @@ class SlotBatcher:
         with self._lock:
             if self._running:
                 return
+            # a previous loop may still be finishing its last iteration;
+            # two loops would race the donated cache buffers
+            if self._thread is not None and self._thread.is_alive():
+                self._thread.join()
             self._running = True
             self._thread = threading.Thread(target=self._loop, daemon=True,
                                             name="tts-slots")
             self._thread.start()
 
     def stop(self) -> None:
+        """Signal shutdown. The loop thread drains: it fails every queued
+        and in-flight request loudly on exit (no hung waiters)."""
         with self._lock:
             self._running = False
 
@@ -142,14 +150,20 @@ class SlotBatcher:
         prefill+insert+segment via one real tiny request."""
         max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
                         self.ring)
-        codes = np.zeros(max(max_steps, 1), np.int32)
         n = 0
-        for b in self.cfg.batch_buckets:
-            if b > self.n_slots:
-                break
-            self.engine.vocode_codes_batch(
-                self.char, [(ref, text_phones, codes)] * b)
-            n += 1
+        # finisher groups mix arbitrary lengths: warm the frame bucket of
+        # the cap AND the half-cap (the two buckets real traffic lands in)
+        for length in {max(max_steps, 1), max(max_steps // 2, 1)}:
+            codes = np.zeros(length, np.int32)
+            for b in self.cfg.batch_buckets:
+                # warm THROUGH the first bucket >= n_slots — that is the
+                # bucket pick_bucket pads full finisher groups to
+                self.engine.vocode_codes_batch(
+                    self.char, [(ref, text_phones, codes)]
+                    * min(b, self.n_slots))
+                n += 1
+                if b >= self.n_slots:
+                    break
         bert = np.zeros((len(text_phones), self.char.t2s_cfg.bert_dim),
                         np.float32)
         self.synthesize(ref, text_phones, bert, timeout=600,
@@ -169,6 +183,9 @@ class SlotBatcher:
                        max_steps=max_steps)
         self._q.put(req)
         if not req.done.wait(timeout):
+            # stop burning slot-machine work on an abandoned request: the
+            # scheduler drops it from the queue or releases its slot
+            req.cancelled = True
             raise TimeoutError("slot-batched synthesis timed out")
         if req.error is not None:
             raise req.error
@@ -179,7 +196,17 @@ class SlotBatcher:
     def _occupied(self) -> bool:
         return any(r is not None for r in self._slots)
 
+    def _drop_cancelled(self) -> None:
+        """Free slots whose waiters timed out (their rows decode garbage
+        otherwise, queueing live requests behind abandoned work)."""
+        for b, req in enumerate(self._slots):
+            if req is not None and req.cancelled and not req.harvested:
+                req.harvested = True
+                self._slots[b] = None
+                self._small = self._release(self._small, np.int32(b))
+
     def _fill_slots(self, block: bool) -> None:
+        self._drop_cancelled()
         free = [i for i, r in enumerate(self._slots) if r is None]
         while free:
             try:
@@ -188,6 +215,8 @@ class SlotBatcher:
             except queue.Empty:
                 return
             block = False
+            if req.cancelled:
+                continue
             b = free.pop(0)
             try:
                 self._insert_request(b, req)
@@ -208,7 +237,10 @@ class SlotBatcher:
                           .astype(np.float32), self.sx, axis=0)[None]
         else:
             bert = None  # all-zero BERT built on device (JA/EN path)
-        key = jax.random.PRNGKey(self._seg_counter * 131071 + b)
+        # disjoint keyspace from segment keys (PRNGKey(n) folded with 0):
+        # a plain PRNGKey(counter*K+b) collides with PRNGKey(seg) streams
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self._seg_counter), 1), b)
         ctx_k, ctx_v, tok0, hist = self._prefill_join(
             self.char.t2s_params, key=key,
             phones=pad_to(packed, self.sx)[None], bert=bert,
@@ -249,9 +281,11 @@ class SlotBatcher:
     def _complete_many(self, finished) -> None:
         reqs = [r for r, _ in finished]
         try:
+            # one RPC for every first token (device_get batches buffers)
+            toks0 = jax.device_get([r.tok0_dev for r, _ in finished])
             items = []
-            for req, count in finished:
-                tok0 = int(jax.device_get(req.tok0_dev)[0])
+            for (req, count), tok0_arr in zip(finished, toks0):
+                tok0 = int(tok0_arr[0])
                 toks = np.concatenate([[tok0]] + req.seg_tokens)[:count]
                 codes = finalize_semantic_tokens(
                     toks[None], np.array([count]),
@@ -275,6 +309,13 @@ class SlotBatcher:
         # the next segment's device compute. Joins land between dispatches
         # (<= 2 segments of wait); releases apply to the state after the
         # in-flight segment, which is safe — done rows are frozen by masks.
+        try:
+            self._loop_body()
+        finally:
+            # drain on shutdown: no waiter may hang on a dead scheduler
+            self._fail_all(RuntimeError("slot batcher stopped"))
+
+    def _loop_body(self) -> None:
         pending = None  # (seg_tok, done, counts, occupants) of the prior dispatch
         while self._running:
             try:
@@ -282,7 +323,8 @@ class SlotBatcher:
                                  and pending is None)
                 if self._occupied():
                     self._seg_counter += 1
-                    key = jax.random.PRNGKey(self._seg_counter)
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(self._seg_counter), 0)
                     with metrics.timer("slot_segment"):
                         self._kc, self._vc, self._small, seg_tok = \
                             self._decode_seg(self.char.t2s_params, self._kc,

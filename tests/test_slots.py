@@ -249,3 +249,51 @@ def test_slot_batcher_survives_segment_failure():
     audio = sb.synthesize(ref, ph, bert, timeout=120, max_steps=12)
     sb.stop()
     assert len(audio) > 0 and np.isfinite(audio).all()
+
+
+def test_slot_batcher_stop_fails_waiters():
+    """stop() must fail in-flight waiters loudly, never hang them."""
+    import threading
+
+    vcfg = SoVITSConfig(
+        spec_channels=33, inter_channels=16, hidden_channels=16,
+        filter_channels=32, n_heads=2, n_layers=2, kernel_size=3,
+        mrte_channels=16, ssl_dim=8, vq_codes=32, vq_dim=8,
+        gin_channels=16, flow_layers=2, wn_layers=2, wn_kernel=5,
+        upsample_rates=(2, 2, 2), upsample_kernels=(4, 4, 4),
+        upsample_initial=32, resblock_kernels=(3,),
+        resblock_dilations=((1, 3),), n_fft=64, hop_length=8, win_length=64)
+    rcfg = RuntimeConfig(
+        phoneme_buckets=(16, 32), prompt_buckets=(16,),
+        frame_buckets=(32, 64), slot_batch=2, slot_steps=8, slot_ring=64,
+        slot_phoneme_bucket=32, slot_prompt_bucket=16)
+    eng = TTSEngine(rcfg)
+    char = make_random_character(t2s_cfg=CFG, sovits_cfg=vcfg,
+                                 dtype=jnp.float32)
+    ref = make_random_reference(char, eng, ref_seconds=0.2)
+
+    from genie_tts_tpu.runtime.slot_batcher import SlotBatcher
+
+    sb = SlotBatcher(eng, char)
+    ph = np.arange(1, 6, dtype=np.int32)
+    bert = np.zeros((len(ph), CFG.bert_dim), np.float32)
+    result = {}
+
+    def client():
+        try:
+            # pin a long decode so stop() lands mid-flight
+            result["audio"] = sb.synthesize(ref, ph, bert, timeout=120,
+                                            min_steps=64, max_steps=64)
+        except BaseException as e:  # noqa: BLE001
+            result["error"] = e
+
+    t = threading.Thread(target=client)
+    t.start()
+    import time
+
+    time.sleep(1.0)  # let the request enter the machine
+    sb.stop()
+    t.join(timeout=60)
+    assert not t.is_alive(), "waiter hung after stop()"
+    # either it finished just before stop, or it was failed loudly
+    assert "audio" in result or isinstance(result.get("error"), RuntimeError)
