@@ -46,24 +46,32 @@ def apply_repetition_penalty(
 
 
 def top_k_top_p_filter(logits: jnp.ndarray, top_k: int, top_p: float) -> jnp.ndarray:
-    """Mask logits outside the top-k / nucleus set with -inf. [B, V] fp32."""
+    """Mask logits outside the nucleus / top-k set with -inf. [B, V] fp32.
+
+    Order matches GPT-SoVITS ``logits_to_probs``: top-p runs FIRST on the
+    full distribution (sorted descending; remove tokens whose inclusive
+    cumulative probability exceeds ``top_p``, always keeping the argmax),
+    then top-k masks below the k-th remaining logit. Running top-k first
+    would renormalize the nucleus over only k tokens and keep the
+    threshold-crossing token — a different set than the reference's.
+    """
     neg = jnp.float32(-1e10)
-    if top_k > 0 and top_k < logits.shape[-1]:
-        # lax.top_k, not a full sort: this runs once per decode step inside
-        # the AR while_loop, and a full 1025-wide sort is far slower on TPU
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, neg, logits)
     if top_p < 1.0:
         sort_idx = jnp.argsort(-logits, axis=-1)
         sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep first)
-        keep_sorted = cum - probs < top_p
-        keep = jnp.zeros_like(keep_sorted).at[
+        remove_sorted = cum > top_p
+        remove_sorted = remove_sorted.at[..., 0].set(False)  # keep argmax
+        keep = jnp.ones_like(remove_sorted).at[
             jnp.arange(logits.shape[0])[:, None], sort_idx
-        ].set(keep_sorted)
+        ].set(~remove_sorted)
         logits = jnp.where(keep, logits, neg)
+    if top_k > 0 and top_k < logits.shape[-1]:
+        # lax.top_k, not a full sort: this runs once per decode step inside
+        # the AR while_loop, and a full 1025-wide sort is far slower on TPU
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
     return logits
 
 

@@ -97,10 +97,16 @@ def _fit_codes(codes: jnp.ndarray, bucket: int) -> jnp.ndarray:
     return codes
 
 
+def _pcm16_host(audio: np.ndarray) -> np.ndarray:
+    """Host-side float -> int16 PCM (mirror of the on-device _to_pcm16)."""
+    return np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
 def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                     phones, bert, x_len, prompts, p_len, text, t_len,
                     ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps,
-                    layer_unroll=1, codes_bucket=None, pcm16=False):
+                    use_flash=False, layer_unroll=1, codes_bucket=None,
+                    pcm16=False):
     """Whole utterance in one XLA program: T2S decode + SoVITS vocode.
 
     Zero host syncs mid-utterance. ``codes_bucket`` sizes the vocoder
@@ -113,7 +119,7 @@ def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
         max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
-        layer_unroll=layer_unroll)
+        use_flash=use_flash, layer_unroll=layer_unroll)
     codes = _fit_codes(codes, codes_bucket or max_steps)
     audio = sovits.synthesize(
         sovits_params, vcfg, ks, codes, codes_len, text, t_len,
@@ -127,7 +133,7 @@ def _t2s_latent_first(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                       phones, bert, x_len, prompts, p_len, text, t_len,
                       ge, ge_mrte, noise_scale, max_steps, cache_len,
                       min_steps, layer_unroll, codes_bucket, first_window,
-                      first_frames, pcm16=False):
+                      first_frames, use_flash=False, pcm16=False):
     """Streaming head: decode + latent + FIRST vocode chunk, one dispatch.
 
     Time-to-first-audio = (decode + latent + one small vocode window +
@@ -140,7 +146,7 @@ def _t2s_latent_first(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
         max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
-        layer_unroll=layer_unroll)
+        use_flash=use_flash, layer_unroll=layer_unroll)
     codes = _fit_codes(codes, codes_bucket)
     z = sovits.synthesize_latent(
         sovits_params, vcfg, ks, codes, codes_len, text, t_len,
@@ -158,16 +164,28 @@ def _t2s_latent_first(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
 def _enable_persistent_compile_cache() -> None:
     """Cache compiled XLA programs across processes (first compile of the
     full pipeline costs tens of seconds per graph on tunneled hosts).
-    Opt out with GENIE_NO_COMPILE_CACHE=1."""
+    Opt out with GENIE_NO_COMPILE_CACHE=1.
+
+    CPU backends are EXCLUDED: XLA:CPU cache entries are AOT machine code
+    whose deserialization is feature-set sensitive — reading an entry
+    produced with different CPU flags (or concurrently from a worker
+    thread) segfaults the process inside
+    ``compilation_cache.get_executable_and_time`` (observed twice,
+    deterministically, in the test suite). CPU compiles are cheap; TPU
+    keeps the cache where it saves tens of seconds per graph."""
     import os
 
     if os.environ.get("GENIE_NO_COMPILE_CACHE"):
+        return
+    platform = (os.environ.get("GENIE_PLATFORM")
+                or getattr(jax.config, "jax_platforms", None) or "auto")
+    if "cpu" in str(platform):
         return
     try:
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/genie_tts_tpu_xla"))
+                os.path.expanduser(f"~/.cache/genie_tts_tpu_xla_{platform}"))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - config name drift
         logger.debug("could not enable persistent compilation cache")
@@ -197,6 +215,7 @@ class TTSEngine:
                 logger.warning("backend already initialized; GENIE_PLATFORM ignored")
         _enable_persistent_compile_cache()
         self._lock = threading.Lock()
+        self._pe_apply = None   # lazy engine-lifetime jit of prompt_encoder
         self._rng = np.random.default_rng(0)
         # jitted stage functions (shared across characters; retrace only on
         # new bucket shapes)
@@ -221,13 +240,14 @@ class TTSEngine:
         self._fused = jax.jit(
             _t2s_and_vocode,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
-                             "min_steps", "layer_unroll", "codes_bucket",
-                             "pcm16"))
+                             "min_steps", "use_flash", "layer_unroll",
+                             "codes_bucket", "pcm16"))
         self._fused_first = jax.jit(
             _t2s_latent_first,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
                              "min_steps", "layer_unroll", "codes_bucket",
-                             "first_window", "first_frames", "pcm16"))
+                             "first_window", "first_frames", "use_flash",
+                             "pcm16"))
         # device-side codes re-bucketing (static output length)
         self._slice_codes = jax.jit(
             lambda codes, n: jax.lax.slice_in_dim(codes, 0, n, axis=1),
@@ -237,6 +257,11 @@ class TTSEngine:
         """Decode layer unroll: 0 in config means full unroll (see
         RuntimeConfig.layer_unroll for the v5e measurements)."""
         return self.cfg.layer_unroll or tcfg.num_layers
+
+    def _next_seed(self) -> int:
+        """Thread-safe seed draw (np.random.Generator is not)."""
+        with self._lock:
+            return int(self._rng.integers(0, 2 ** 31 - 1))
 
     # -- data-parallel serving over a mesh ---------------------------------
 
@@ -303,10 +328,13 @@ class TTSEngine:
         spec = linear_spectrogram(
             jnp.asarray(audio_32k)[None], n_fft=cfg.n_fft, hop=cfg.hop_length,
             win_length=cfg.win_length)
-        apply = jax.jit(pe.apply)
-        ge, ge_adv = apply(char.prompt_encoder_params, spec,
-                           jnp.array([spec.shape[1]]),
-                           jnp.asarray(sv_emb)[None])
+        if self._pe_apply is None:
+            # one engine-lifetime jit wrapper: a fresh jax.jit per call
+            # would retrace + recompile for every new reference clip
+            self._pe_apply = jax.jit(pe.apply)
+        ge, ge_adv = self._pe_apply(char.prompt_encoder_params, spec,
+                                    jnp.array([spec.shape[1]]),
+                                    jnp.asarray(sv_emb)[None])
         return np.asarray(ge[0]), np.asarray(ge_adv[0])
 
     # -- synthesis --------------------------------------------------------
@@ -356,15 +384,17 @@ class TTSEngine:
         tcfg = char.t2s_cfg
         vcfg = char.sovits_cfg
         if seed is None:
-            seed = int(self._rng.integers(0, 2 ** 31 - 1))
-        k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
+            seed = self._next_seed()
 
         # ---- T2S: pack [ref_text | text], single-dispatch generate
         phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
-        x_len = len(phones)
-        x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
-        p_len = len(ref.prompt_tokens)
-        p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
+        x_bucket = pick_bucket(len(phones), self.cfg.phoneme_buckets)
+        p_bucket = pick_bucket(len(ref.prompt_tokens), self.cfg.prompt_buckets)
+        # clamp lengths to their buckets: beyond the largest bucket the data
+        # is truncated (pad_to/prompts_dev), and an unclamped length would
+        # mark unwritten cache positions valid in the attention masks
+        x_len = min(len(phones), x_bucket)
+        p_len = min(len(ref.prompt_tokens), p_bucket)
         max_steps = fixed_steps or max_steps or tcfg.max_decode_steps
 
         if np.any(ref.bert) or np.any(text_bert):
@@ -395,12 +425,13 @@ class TTSEngine:
                 prompts=ref.prompts_dev(p_bucket),
                 p_len=np.array([p_len], np.int32),
                 text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
-                t_len=np.array([len(text_phones)], np.int32),
+                t_len=np.array([min(len(text_phones), t_bucket)], np.int32),
                 ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev,
                 noise_scale=noise_scale,
                 max_steps=max_steps,
                 cache_len=x_bucket + p_bucket + max_steps,
                 min_steps=fixed_steps if fixed_steps is not None else min_steps,
+                use_flash=self.cfg.use_flash_decode,
                 layer_unroll=self._unroll(tcfg),
                 codes_bucket=c_bucket, pcm16=pcm16)
             # ONE blocking fetch for both buffers; trim on host (an
@@ -412,6 +443,7 @@ class TTSEngine:
             return a if pcm16 else np.asarray(a, np.float32)
 
         # numpy args ride the dispatch itself — no separate device_put RPCs
+        k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
         codes, codes_len = self._generate_e2e(
             char.t2s_params, tcfg, scfg, k_gen,
             pad_to(phones, x_bucket)[None], bert_dev,
@@ -440,16 +472,14 @@ class TTSEngine:
             char.sovits_params, vcfg, k_syn,
             codes_b, n_arr,
             pad_to(text_phones.astype(np.int32), t_bucket)[None],
-            np.array([len(text_phones)], np.int32),
+            np.array([min(len(text_phones), t_bucket)], np.int32),
             ref.ge_dev, ref.ge_mrte_dev,
             noise_scale,
         )
         audio = self._vocode_audio(char, z, ref.ge_dev, n_arr)
         n_samples = 2 * n_codes * vcfg.hop_length
         audio = audio[0, :n_samples].astype(np.float32)
-        if pcm16:
-            return np.round(np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
-        return audio
+        return _pcm16_host(audio) if pcm16 else audio
 
     def vocode_codes(
         self,
@@ -470,10 +500,7 @@ class TTSEngine:
         audio = self.vocode_codes_batch(
             char, [(ref, text_phones, codes)], seed=seed,
             noise_scale=noise_scale)[0]
-        if pcm16:
-            return np.round(
-                np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
-        return audio
+        return _pcm16_host(audio) if pcm16 else audio
 
     def vocode_codes_batch(
         self,
@@ -483,29 +510,48 @@ class TTSEngine:
         noise_scale: float = 0.5,
         b_buckets: "Optional[tuple]" = None,
     ) -> "list[np.ndarray]":
-        """Batched codes -> waveform tail: [(ref, text_phones, codes)].
+        """Batched codes -> waveform tail (dispatch + fetch in one call)."""
+        handle = self.vocode_codes_dispatch(char, items, seed=seed,
+                                            noise_scale=noise_scale,
+                                            b_buckets=b_buckets)
+        return self.vocode_codes_fetch(handle)
+
+    def vocode_codes_dispatch(
+        self,
+        char: CharacterModel,
+        items: "list[tuple[ReferenceFeatures, np.ndarray, np.ndarray]]",
+        seed: int = 0,
+        noise_scale: float = 0.5,
+        b_buckets: "Optional[tuple]" = None,
+    ):
+        """Async half of the batched codes -> waveform tail.
 
         Rows finishing in the same slot segment vocode as ONE latent +
         HiFi-GAN dispatch chain — per-row solo vocoding was the slot
         batcher's dominant serving cost (each row pays its own dispatch +
-        fetch round trips). ``b_buckets`` overrides the batch-pad ladder
-        (the slot batcher pads to {1, n_slots} so completions only ever
-        hit graphs the solo and full-batch paths have already compiled).
+        fetch round trips). Dispatch (which may COMPILE) is kept on the
+        caller's thread; the returned handle is fetched anywhere via
+        :meth:`vocode_codes_fetch` (XLA:CPU segfaults if a compile races
+        other threads' compute). ``b_buckets`` overrides the batch-pad
+        ladder.
         """
         vcfg = char.sovits_cfg
         B = len(items)
         lens = np.array([len(c) for (_, _, c) in items], np.int32)
         if B == 0 or int(lens.max()) == 0:
-            return [np.zeros(0, np.float32) for _ in items]
+            empty = np.zeros((B, 0), np.float32)
+            return ([jnp.asarray(empty)], [(0, 0)], lens, vcfg.hop_length)
         B_pad = max(pick_bucket(B, b_buckets or self.cfg.batch_buckets), B)
         items = list(items) + [items[0]] * (B_pad - B)
         lens = np.concatenate([lens, lens[:1].repeat(B_pad - B)])
         c_bucket = pick_bucket(int(lens.max()), self.cfg.frame_buckets)
+        lens = np.minimum(lens, c_bucket)   # truncated past the ladder
         codes_b = np.stack([
             pad_to(c[:c_bucket].astype(np.int32), c_bucket)
             for (_, _, c) in items])
         t_lens = np.array([len(tp) for (_, tp, _) in items], np.int32)
         t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
+        t_lens = np.minimum(t_lens, t_bucket)
         text_b = np.stack([pad_to(tp.astype(np.int32), t_bucket)
                            for (_, tp, _) in items])
         ge_b = jnp.concatenate([r.ge_dev for (r, _, _) in items], axis=0)
@@ -513,16 +559,27 @@ class TTSEngine:
         z = self._latent(
             char.sovits_params, vcfg, jax.random.PRNGKey(seed),
             codes_b, lens, text_b, t_lens, ge_b, gm_b, noise_scale)
-        audio = self._vocode_audio(char, z, ge_b, lens)
+        pieces, spans = self._vocode_dispatch(char, z, ge_b, lens)
         metrics.incr("utterances", B)
-        return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length]
-                .astype(np.float32) for i in range(B)]
+        return (pieces, spans, lens[:B], vcfg.hop_length)
 
-    def _vocode_audio(self, char: CharacterModel, z, ge, codes_len) -> np.ndarray:
-        """Chunked HiFi-GAN over the latent: bounded memory, streaming-ready.
+    def vocode_codes_fetch(self, handle) -> "list[np.ndarray]":
+        """Blocking half of the codes->waveform tail: fetch + assemble.
 
-        z [B, F, 192] -> waveform [B, F*hop] (np). Chunks are dispatched
-        back-to-back (async) and assembled on host with halo discard.
+        Safe to call from worker threads — it only reads device buffers
+        (device_get), never dispatches jitted calls (XLA:CPU segfaults
+        when a compile races other threads' compute; all compiles happen
+        in the dispatch half, which schedulers run on one thread)."""
+        pieces, spans, lens, hop = handle
+        audio = self._vocode_assemble(pieces, spans)
+        return [audio[i, : 2 * int(lens[i]) * hop].astype(np.float32)
+                for i in range(len(lens))]
+
+    def _vocode_dispatch(self, char: CharacterModel, z, ge, codes_len):
+        """Async half of chunked HiFi-GAN: dispatch all windows, no sync.
+
+        z [B, F, 192] -> (pieces [device arrays], spans). Chunked so memory
+        stays bounded at any utterance length.
         """
         vcfg = char.sovits_cfg
         B, F, _ = z.shape
@@ -531,7 +588,7 @@ class TTSEngine:
         frames_valid = 2 * codes_len                      # device [B]
         if F <= chunk + 2 * halo:
             a = self._vocode(char.sovits_params, vcfg, z, ge, frames_valid)
-            return np.asarray(a)
+            return [a], [(0, F * hop)]
         pieces, spans = [], []
         for start in range(0, F, chunk):
             s0 = max(start - halo, 0)
@@ -540,12 +597,21 @@ class TTSEngine:
             valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
             pieces.append(self._vocode(char.sovits_params, vcfg, zc, ge, valid))
             spans.append(((start - s0) * hop, min(chunk, F - start) * hop))
+        return pieces, spans
+
+    @staticmethod
+    def _vocode_assemble(pieces, spans) -> np.ndarray:
         # all chunk dispatches are in flight; fetch them in ONE blocking RPC
         # and trim the halos on host (a device-slice + per-piece fetch chain
         # costs a ~25 ms tunnel round trip per chunk)
         arrs = jax.device_get(pieces)
         return np.concatenate(
             [a[:, off: off + n] for a, (off, n) in zip(arrs, spans)], axis=1)
+
+    def _vocode_audio(self, char: CharacterModel, z, ge, codes_len) -> np.ndarray:
+        """Chunked HiFi-GAN over the latent (dispatch + fetch)."""
+        return self._vocode_assemble(*self._vocode_dispatch(char, z, ge,
+                                                            codes_len))
 
     def synthesize_utterance_stream(
         self,
@@ -576,13 +642,13 @@ class TTSEngine:
         scfg = sampling or SamplingConfig()
         tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
         if seed is None:
-            seed = int(self._rng.integers(0, 2 ** 31 - 1))
+            seed = self._next_seed()
 
         phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
-        x_len = len(phones)
-        x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
-        p_len = len(ref.prompt_tokens)
-        p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
+        x_bucket = pick_bucket(len(phones), self.cfg.phoneme_buckets)
+        p_bucket = pick_bucket(len(ref.prompt_tokens), self.cfg.prompt_buckets)
+        x_len = min(len(phones), x_bucket)       # truncated past the ladder
+        p_len = min(len(ref.prompt_tokens), p_bucket)
         max_steps = max_steps or tcfg.max_decode_steps
         if np.any(ref.bert) or np.any(text_bert):
             bert = np.concatenate([ref.bert, text_bert]).astype(np.float32)
@@ -606,10 +672,11 @@ class TTSEngine:
             prompts=ref.prompts_dev(p_bucket),
             p_len=np.array([p_len], np.int32),
             text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
-            t_len=np.array([len(text_phones)], np.int32),
+            t_len=np.array([min(len(text_phones), t_bucket)], np.int32),
             ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev, noise_scale=noise_scale,
             max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=min_steps, layer_unroll=self._unroll(tcfg),
+            min_steps=min_steps, use_flash=self.cfg.use_flash_decode,
+            layer_unroll=self._unroll(tcfg),
             codes_bucket=c_bucket, first_window=min(first + halo, F),
             first_frames=first, pcm16=pcm16)
         n_arr, first_np = jax.device_get((codes_len, first_audio))
@@ -635,11 +702,8 @@ class TTSEngine:
         for a, off, n_frames in jobs:
             arr = jax.device_get(a)
             piece = arr[0, off: off + n_frames * hop]
-            if pcm16:
-                piece = np.round(
-                    np.clip(piece, -1.0, 1.0) * 32767.0).astype(np.int16)
-            else:
-                piece = np.asarray(piece, np.float32)
+            piece = (_pcm16_host(piece) if pcm16
+                     else np.asarray(piece, np.float32))
             emitted += n_frames
             yield piece
         metrics.incr("utterances")
@@ -667,8 +731,8 @@ class TTSEngine:
         scfg = sampling or SamplingConfig()
         tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
         max_steps = fixed_steps or tcfg.max_decode_steps
-        p_len = len(ref.prompt_tokens)
-        p_bucket = pick_bucket(p_len, self.cfg.prompt_buckets)
+        p_bucket = pick_bucket(len(ref.prompt_tokens), self.cfg.prompt_buckets)
+        p_len = min(len(ref.prompt_tokens), p_bucket)
 
         in_flight: "list[tuple[object, object]]" = []
         out: "list[np.ndarray]" = []
@@ -680,8 +744,8 @@ class TTSEngine:
 
         for i, (text_phones, text_bert) in enumerate(items):
             phones = np.concatenate([ref.phones, text_phones]).astype(np.int32)
-            x_len = len(phones)
-            x_bucket = pick_bucket(x_len, self.cfg.phoneme_buckets)
+            x_bucket = pick_bucket(len(phones), self.cfg.phoneme_buckets)
+            x_len = min(len(phones), x_bucket)
             t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
             if np.any(ref.bert) or np.any(text_bert):
                 bert_dev = pad_to(np.concatenate([ref.bert, text_bert]).astype(
@@ -697,12 +761,13 @@ class TTSEngine:
                 prompts=ref.prompts_dev(p_bucket),
                 p_len=np.array([p_len], np.int32),
                 text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
-                t_len=np.array([len(text_phones)], np.int32),
+                t_len=np.array([min(len(text_phones), t_bucket)], np.int32),
                 ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev,
                 noise_scale=noise_scale,
                 max_steps=max_steps,
                 cache_len=x_bucket + p_bucket + max_steps,
                 min_steps=fixed_steps or 0,
+                use_flash=self.cfg.use_flash_decode,
                 layer_unroll=self._unroll(tcfg))
             in_flight.append((audio, codes_len))
             if len(in_flight) >= window:
@@ -732,7 +797,7 @@ class TTSEngine:
         scfg = sampling or SamplingConfig()
         tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
         if seed is None:
-            seed = int(self._rng.integers(0, 2 ** 31 - 1))
+            seed = self._next_seed()
         k_gen, k_syn = jax.random.split(jax.random.PRNGKey(seed))
         B = len(items)
         # pad the batch dimension to a bucket (replicated rows, outputs
@@ -758,6 +823,11 @@ class TTSEngine:
         x_bucket = pick_bucket(int(x_lens.max()), self.cfg.phoneme_buckets)
         p_bucket = pick_bucket(int(p_lens.max()), self.cfg.prompt_buckets)
         t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
+        # clamp: rows beyond the largest bucket are truncated by pad_to, and
+        # unclamped lengths would validate unwritten cache positions
+        x_lens = np.minimum(x_lens, x_bucket)
+        p_lens = np.minimum(p_lens, p_bucket)
+        t_lens = np.minimum(t_lens, t_bucket)
         max_steps = fixed_steps or max_steps or tcfg.max_decode_steps
 
         phones_b = np.stack([pad_to(p, x_bucket) for p in phones_rows])
@@ -858,7 +928,26 @@ class TTSEngine:
                             min_steps=0, layer_unroll=self._unroll(tcfg),
                             codes_bucket=c_bucket,
                             first_window=first_window, first_frames=first,
+                            use_flash=self.cfg.use_flash_decode,
                             pcm16=False).compile()
+                        n += 1
+                        if max_steps > self.cfg.solo_fused_max_codes:
+                            continue
+                        # the fused solo path actually serves at this cap:
+                        # cover it too (serving emits PCM16)
+                        self._fused.lower(
+                            char.t2s_params, char.sovits_params,
+                            tcfg=tcfg, vcfg=vcfg, scfg=scfg, key=key,
+                            phones=jnp.zeros((1, xb), jnp.int32), bert=bert,
+                            x_len=ones, prompts=prompts, p_len=ones,
+                            text=jnp.zeros((1, tb), jnp.int32), t_len=ones,
+                            ge=ge, ge_mrte=gm, noise_scale=0.5,
+                            max_steps=max_steps,
+                            cache_len=xb + p_bucket + max_steps,
+                            min_steps=0,
+                            use_flash=self.cfg.use_flash_decode,
+                            layer_unroll=self._unroll(tcfg),
+                            codes_bucket=c_bucket, pcm16=True).compile()
                         n += 1
             for fb in self.cfg.frame_buckets:
                 for tb in self.cfg.phoneme_buckets:

@@ -127,9 +127,15 @@ class SlotBatcher:
             if self._thread is not None and self._thread.is_alive():
                 self._thread.join()
             self._running = True
-            self._thread = threading.Thread(target=self._loop, daemon=True,
-                                            name="tts-slots")
-            self._thread.start()
+            # XLA compiles run on this thread (workers only fetch); LLVM
+            # codegen recursion can overflow the default 8 MB thread stack
+            prev_stack = threading.stack_size(64 * 1024 * 1024)
+            try:
+                self._thread = threading.Thread(target=self._loop,
+                                                daemon=True, name="tts-slots")
+                self._thread.start()
+            finally:
+                threading.stack_size(prev_stack)
 
     def stop(self) -> None:
         """Signal shutdown. The loop thread drains: it fails every queued
@@ -274,11 +280,12 @@ class SlotBatcher:
                     self._slots[b] = None
                 self._small = self._release(self._small, np.int32(b))
                 finished.append((req, int(counts[b])))
-        if finished:
-            # rows that finished in the same segment vocode as ONE batch
-            self._vocoder.submit(self._complete_many, finished)
-
-    def _complete_many(self, finished) -> None:
+        if not finished:
+            return
+        # rows that finished in the same segment vocode as ONE batch. The
+        # DISPATCH half (which may compile) runs here on the scheduler
+        # thread — XLA:CPU segfaults when a compile races other threads'
+        # compute; workers only fetch device buffers.
         reqs = [r for r, _ in finished]
         try:
             # one RPC for every first token (device_get batches buffers)
@@ -291,7 +298,19 @@ class SlotBatcher:
                     toks[None], np.array([count]),
                     self.char.t2s_cfg.eos_id)[0]
                 items.append((req.ref, req.phones, codes))
-            audios = self.engine.vocode_codes_batch(self.char, items)
+            handle = self.engine.vocode_codes_dispatch(self.char, items)
+        except BaseException as e:  # noqa: BLE001 — surface to the waiters
+            logger.exception("slot vocode dispatch failed")
+            for req in reqs:
+                req.error = e
+                req.done.set()
+            return
+        self._vocoder.submit(self._complete_fetch, reqs, handle)
+
+    def _complete_fetch(self, reqs, handle) -> None:
+        """Worker half: blocking fetch + assembly only (no jit calls)."""
+        try:
+            audios = self.engine.vocode_codes_fetch(handle)
             for req, audio in zip(reqs, audios):
                 req.result = audio
             metrics.incr("slot_utterances", len(reqs))

@@ -100,3 +100,21 @@ def test_pipelined_matches_fused(setup):
         solo = eng.synthesize_utterance(char, ref, ph, bert, seed=100 + i,
                                         fixed_steps=8)
         np.testing.assert_array_equal(piped[i], solo)
+
+
+def test_oversize_lengths_clamp_to_buckets(setup):
+    """Inputs beyond the largest bucket truncate SAFELY: the lengths fed to
+    the attention masks clamp to the bucket, so no unwritten cache
+    positions are marked valid (they produced garbage audio before)."""
+    eng, char, ref = setup
+    # a text whose packed phones exceed the largest phoneme bucket (32)
+    big = np.arange(1, 60, dtype=np.int32) % 30 + 1
+    bert = np.zeros((len(big), char.t2s_cfg.bert_dim), np.float32)
+    audio = eng.synthesize_utterance(char, ref, big, bert, seed=0,
+                                     fixed_steps=8)
+    assert len(audio) > 0 and np.isfinite(audio).all()
+    # batched path with one oversize row
+    outs = eng.synthesize_batch(
+        char, [(ref, big, bert),
+               (ref, big[:4], bert[:4])], seed=1, fixed_steps=8)
+    assert all(np.isfinite(a).all() and len(a) > 0 for a in outs)
