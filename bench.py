@@ -231,9 +231,18 @@ def main():
                 with lat_lock:
                     req_lat.append(time.perf_counter() - t1)
 
-        # compile pass (one request warms the batcher's B=1 path; B buckets
-        # 2/4/8 compile during the timed run's first batches)
-        client(0)
+        # compile pass: warm EVERY batch bucket the stage can hit — a
+        # mid-stage compile stalls one batch, staggers the clients, and
+        # the window then never re-coalesces them (convoy collapse:
+        # measured 8 -> 2 utt/s when B=2/4 compiled mid-run)
+        for b in (1, 2, 4, 8):
+            warm_items = []
+            for i in range(b):
+                ph = phones_cache[suite[i % len(suite)]]
+                warm_items.append(
+                    (ref, ph, np.zeros((len(ph), tcfg.bert_dim), np.float32)))
+            engine.synthesize_batch(char, warm_items, seed=0, min_steps=150,
+                                    max_steps=206)
         req_lat.clear()
         t0 = time.perf_counter()
         threads = [threading.Thread(target=client, args=(i,))
