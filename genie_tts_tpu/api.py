@@ -80,7 +80,11 @@ def load_character(character_name: str,
 
 def unload_character(character_name: str) -> None:
     model_manager.remove_character(character_name)
-    sb = _slot_batchers.pop(character_name, None)
+    # pop under the lock: a concurrent first request in get_slot_batcher
+    # must not re-insert a batcher for the character being unloaded
+    # (leaked scheduler thread + slot KV cache under a stale key)
+    with _slot_batchers_lock:
+        sb = _slot_batchers.pop(character_name, None)
     if sb is not None:
         sb.stop()
 
