@@ -188,40 +188,55 @@ _NOUN_CUES = frozenset({
 })
 
 
-def _nltk_pos(word: str, prev: Optional[str]) -> Optional[str]:
+def _nltk_pos(tokens: List[str], idx: int) -> Optional[str]:
     """POS via nltk when its tagger data is installed; None otherwise."""
     try:
         import nltk
 
-        tokens = ([prev, word] if prev else [word])
         tags = nltk.pos_tag(tokens)
-        return tags[-1][1]
+        return tags[idx][1]
     except Exception:
         return None
 
 
-def disambiguate_homograph(word: str, prev: Optional[str]) -> Optional[List[str]]:
+def disambiguate_homograph(word: str, prev: Optional[str] = None,
+                           ctx=None) -> Optional[List[str]]:
+    """Context-sensitive pronunciation for a homograph, or None.
+
+    ``ctx``: optional (tokens, index) — the full sentence token list and
+    this word's position. Resolution order: (1) the special table
+    (read/lead/live/wind/... — splits nltk's 2-token tagging could never
+    see), (2) nltk's tagger when its data is installed (reference parity,
+    ``EnglishG2P.py:240``), (3) the offline POS-lite classifier
+    (frontend/pos_lite.py) — no silent degradation without nltk data.
+    """
+    from . import pos_lite
+
+    if ctx is not None:
+        tokens, idx = ctx
+    else:
+        tokens = [prev, word] if prev else [word]
+        idx = len(tokens) - 1
+    special = pos_lite.special_homograph(word, tokens, idx)
+    if special is not None:
+        return special
     pair = _HOMOGRAPHS.get(word)
     if pair is None:
         return None
     noun_pron, verb_pron = pair
-    tag = _nltk_pos(word, prev)
+    tag = _nltk_pos(list(tokens), idx)
     if tag is not None:
         return verb_pron if tag.startswith("VB") else noun_pron
-    prev = (prev or "").lower()
-    if prev in _VERB_CUES:
-        return verb_pron
-    if prev in _NOUN_CUES:
-        return noun_pron
-    return noun_pron  # default: the more common citation form
+    return verb_pron if pos_lite.is_verb(tokens, idx) else noun_pron
 
 
 # ---------------------------------------------------------------------------
 # Word lookup with fallbacks
 # ---------------------------------------------------------------------------
 
-def word_to_phones(word: str, prev: Optional[str] = None) -> List[str]:
-    homograph = disambiguate_homograph(word.lower(), prev)
+def word_to_phones(word: str, prev: Optional[str] = None,
+                   ctx=None) -> List[str]:
+    homograph = disambiguate_homograph(word.lower(), prev, ctx=ctx)
     if homograph is not None:
         return list(homograph)
     return _word_to_phones_nohg(word)
@@ -282,15 +297,20 @@ def _word_to_phones_nohg(word: str) -> List[str]:
 
 def english_to_phone_strs(text: str) -> List[str]:
     text = normalize_english(text.lower())
+    toks = _WORD_RE.findall(text)
+    # sentence-level token context for homograph disambiguation
+    # (punctuation tokens stay in place — neighbors matter, and a comma
+    # matching no lexicon set is the right neutral signal)
+    words = [t if t in _PUNCT_KEEP else t.strip("'") for t in toks]
     phones: List[str] = []
     prev: Optional[str] = None
-    for tok in _WORD_RE.findall(text):
+    for i, tok in enumerate(toks):
         if tok in _PUNCT_KEEP:
             phones.append(tok)
             prev = None
         elif tok.strip("'"):
             word = tok.strip("'")
-            phones.extend(word_to_phones(word, prev=prev))
+            phones.extend(word_to_phones(word, prev=prev, ctx=(words, i)))
             prev = word
     return phones
 
