@@ -160,7 +160,8 @@ def get_slot_batcher(char):
         if sb is None:
             from .runtime.slot_batcher import SlotBatcher
 
-            sb = SlotBatcher(engine, char)
+            # serving emits PCM16; int16 finisher fetches halve d2h bytes
+            sb = SlotBatcher(engine, char, pcm16=True)
             _slot_batchers[char.name] = sb
         return sb
 
@@ -195,10 +196,13 @@ def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = Non
         if len(phones) == 0:
             return None
         if use_batcher:
-            if engine.cfg.serve_slots and sampling is None:
+            if engine.cfg.serve_slots:
+                # custom sampling joins slots too: sampling parameters are
+                # per-row state in the slot machine, not graph constants
                 sb = get_slot_batcher(char)
                 if sb.fits(feats, phones):
-                    return sb.synthesize(feats, phones, bert)
+                    return sb.synthesize(feats, phones, bert,
+                                         sampling=sampling)
             return get_batcher().synthesize(
                 char, feats, phones, bert, sampling=sampling)
         return engine.synthesize_utterance(

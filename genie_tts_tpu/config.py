@@ -125,6 +125,11 @@ class RuntimeConfig:
     prompt_buckets: Tuple[int, ...] = (128, 256, 512)
     kv_cache_len: int = 1024          # prompt (<=500) + decode (<=500) headroom
     frame_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    # STATIC decode-cap ladder. The actual per-call min/max decode steps
+    # are traced scalars (t2s.generate max_steps_dyn), so every request
+    # whose cap rounds to the same bucket shares ONE compiled decode
+    # graph; the caps only bound buffer sizes (tokens/Gumbel/KV/codes).
+    step_caps: Tuple[int, ...] = (64, 128, 256, 512)
     # batch-dimension ladder: continuous batching pads B up to a bucket so
     # arbitrary arrival counts reuse a handful of compiled programs
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
@@ -159,6 +164,14 @@ class RuntimeConfig:
     slot_ring: int = 512
     slot_phoneme_bucket: int = 192
     slot_prompt_bucket: int = 192
+    # Finisher pooling: finished rows wait up to slot_finisher_wait_segs
+    # decode segments (or until slot_finisher_batch rows collect) so the
+    # codes->waveform tail vocodes at batch>1. Measured v5e finisher cost:
+    # 108/93/68/43 ms per utterance at B=1/2/4/8 — pooling more than pays
+    # for the <=2-segment (~74 ms) wait under concurrent load; an idle
+    # machine flushes immediately so solo latency is unaffected.
+    slot_finisher_batch: int = 4
+    slot_finisher_wait_segs: int = 2
     # Pallas flash-decode attention in the AR loop (TPU only; measured
     # neutral at B=1, revisit for large-batch serving). GENIE_FLASH_DECODE=1.
     use_flash_decode: bool = dataclasses.field(
@@ -183,6 +196,21 @@ class RuntimeConfig:
     # streaming: the FIRST chunk is smaller so first audio lands sooner
     # (0.96 s of audio; its vocode window is first+halo frames)
     stream_first_chunk: int = 48
+    # SEGMENTED streaming (runtime/stream.py): decode runs as W-step
+    # segments on a solo slot machine and audio windows vocode from the
+    # prefix of decoded codes — TTFA becomes length-INDEPENDENT (~W codes
+    # in, first audio out) at the cost of prefix-latent approximation
+    # (see stream.py docstring). GENIE_STREAM_SEGMENTED=0 restores the
+    # exact fused head (TTFA then grows with decode length).
+    stream_segmented: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_STREAM_SEGMENTED", "1").lower() not in ("0", "false",
+                                                           "off"))
+    stream_seg_steps: int = 16        # decode segment width W (0.64 s audio)
+    # emitted frames trail the decode frontier by this many CODES so the
+    # HiFi-GAN receptive field (~14 frames) only sees mature latent
+    stream_lookahead: int = 8
+    stream_chunk: int = 64            # follow-up window stride (1.28 s audio)
     # generator receptive field ~14 frames; 24 keeps margin and measured
     # ~35% faster than 32 on v5e (window alignment)
     vocode_halo: int = 24

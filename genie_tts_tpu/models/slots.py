@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import T2SConfig
-from ..ops.sampling import SamplingConfig, sample_token
+from ..ops.sampling import SamplingRows, sample_token_rows
 from . import t2s
 
 
@@ -56,7 +56,19 @@ class SlotState(NamedTuple):
     p_len: jnp.ndarray        # [B]
     min_steps: jnp.ndarray    # [B]
     max_steps: jnp.ndarray    # [B] per-row decode cap (<= ring_len)
+    # per-row sampling parameters (ops/sampling.py::SamplingRows): carried
+    # in state so requests with ANY SamplingConfig share one decode graph
+    samp_top_k: jnp.ndarray   # [B] int32
+    samp_top_p: jnp.ndarray   # [B] float32
+    samp_temp: jnp.ndarray    # [B] float32
+    samp_rep: jnp.ndarray     # [B] float32
     ring_head: jnp.ndarray    # [] int32 — next global write column in [0, ring_len)
+
+    @property
+    def sampling_rows(self) -> SamplingRows:
+        return SamplingRows(top_k=self.samp_top_k, top_p=self.samp_top_p,
+                            temperature=self.samp_temp,
+                            repetition_penalty=self.samp_rep)
 
 
 def init_slots(cfg: T2SConfig, n_slots: int, sx: int, sp: int, ring_len: int,
@@ -74,6 +86,9 @@ def init_slots(cfg: T2SConfig, n_slots: int, sx: int, sp: int, ring_len: int,
         x_len=z((B,), jnp.int32), p_len=z((B,), jnp.int32),
         min_steps=z((B,), jnp.int32),
         max_steps=jnp.full((B,), ring_len, jnp.int32),
+        samp_top_k=z((B,), jnp.int32), samp_top_p=jnp.ones((B,), jnp.float32),
+        samp_temp=jnp.ones((B,), jnp.float32),
+        samp_rep=jnp.ones((B,), jnp.float32),
         ring_head=jnp.int32(0),
     )
 
@@ -81,19 +96,20 @@ def init_slots(cfg: T2SConfig, n_slots: int, sx: int, sp: int, ring_len: int,
 def prefill_join(
     params: t2s.Params,
     cfg: T2SConfig,
-    scfg: SamplingConfig,
     key: jax.Array,
     phones: jnp.ndarray,        # [1, Sx] packed [ref_text | text], slot bucket
     bert,                       # [1, Sx, bert_dim] or None
     x_len: jnp.ndarray,         # [1]
     prompts: jnp.ndarray,       # [1, Sp]
     p_len: jnp.ndarray,         # [1]
+    samp: SamplingRows,         # per-row arrays, shape [1]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One request's prefill at the slot geometry.
 
     Returns (ctx_k [L,1,H,Dh,Sx+Sp], ctx_v, tok0 [1], hist [1,V]) ready for
     :func:`insert_slot`. Mirrors the head of :func:`t2s.generate`
-    (first-draw EOS mask included).
+    (first-draw EOS mask included). Sampling parameters arrive as [1]
+    arrays so one compiled prefill graph serves every SamplingConfig.
     """
     Sx, Sp = phones.shape[1], prompts.shape[1]
     V = cfg.semantic_vocab
@@ -109,7 +125,7 @@ def prefill_join(
     hist = hist.at[jnp.zeros((1, 1), jnp.int32),
                    prompts].add(prompt_valid.astype(jnp.int32))
     forbid_eos = jnp.zeros((V,), bool).at[cfg.eos_id].set(True)
-    tok0 = sample_token(key, logits0, hist, scfg, forbid=forbid_eos)
+    tok0 = sample_token_rows(key, logits0, hist, samp, forbid=forbid_eos)
     hist = hist + jax.nn.one_hot(tok0, V, dtype=jnp.int32)
     return k_ctx, v_ctx, tok0, hist
 
@@ -125,12 +141,13 @@ def insert_slot(
     p_len: jnp.ndarray,         # [] int32
     min_steps: jnp.ndarray,     # [] int32
     max_steps: jnp.ndarray,     # [] int32
+    samp: SamplingRows,         # scalar-or-[1] sampling params for this row
 ) -> SlotState:
     """Claim a slot for a prefetched request (jit with donated state)."""
     b = slot
 
     def set1(vec, val):
-        return vec.at[b].set(val)
+        return vec.at[b].set(jnp.reshape(val, ()))
 
     k_cache = jax.lax.dynamic_update_slice(
         state.k_cache, ctx_k.astype(state.k_cache.dtype), (0, b, 0, 0, 0))
@@ -150,6 +167,10 @@ def insert_slot(
         p_len=set1(state.p_len, p_len),
         min_steps=set1(state.min_steps, min_steps),
         max_steps=set1(state.max_steps, max_steps),
+        samp_top_k=set1(state.samp_top_k, samp.top_k),
+        samp_top_p=set1(state.samp_top_p, samp.top_p),
+        samp_temp=set1(state.samp_temp, samp.temperature),
+        samp_rep=set1(state.samp_rep, samp.repetition_penalty),
     )
 
 
@@ -166,7 +187,6 @@ def decode_segment(
     state: SlotState,
     key: jax.Array,
     cfg: T2SConfig,
-    scfg: SamplingConfig,
     seg_steps: int,
     sx: int,
     sp: int,
@@ -237,8 +257,8 @@ def decode_segment(
         eos_blocked = row_step < state.min_steps                 # [B]
         forbid = forbid_eos[None, :] & eos_blocked[:, None]
         noise = jax.lax.dynamic_index_in_dim(gumbel, i, keepdims=False)
-        nxt = sample_token(None, logits, hist, scfg, forbid=forbid,
-                           noise=noise)
+        nxt = sample_token_rows(None, logits, hist, state.sampling_rows,
+                                forbid=forbid, noise=noise)
         argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
         eos_ok = row_step >= state.min_steps
         now_done = (argmax_eos | (nxt == cfg.eos_id)) & eos_ok

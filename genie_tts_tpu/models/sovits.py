@@ -382,6 +382,47 @@ def vocode_frames(params: Params, cfg: SoVITSConfig, z: jnp.ndarray,
     return hifigan(params["dec"], z, ge, cfg, frames_len=frames_valid)
 
 
+def vocode_frames_chunked(params: Params, cfg: SoVITSConfig, z: jnp.ndarray,
+                          ge: jnp.ndarray, frames_valid: jnp.ndarray,
+                          chunk: int, halo: int) -> jnp.ndarray:
+    """In-graph chunked HiFi-GAN with invalid-window SKIP.
+
+    Equivalent to the host-side chunked dispatch
+    (``engine._vocode_dispatch``: halo-padded windows, halo trimmed from
+    the output) but inside one jit, for the fused solo path. Two wins
+    over one whole-``F`` hifigan call: chunk-sized windows are faster on
+    v5e (measured 133 vs 207 ms at F=512), and ``lax.cond`` skips windows
+    past ``frames_valid`` entirely — the fused graph's decode cap can be
+    a coarse static bucket while vocode work stays proportional to the
+    EMITTED length (dynamic-ladder serving).
+
+    ``frames_valid`` must be a scalar-like [1] (B=1 path) — the skip
+    predicate is batch-uniform.
+    """
+    B, F, _ = z.shape
+    hop = cfg.hop_length
+    if F <= chunk + 2 * halo:
+        return vocode_frames(params, cfg, z, ge, frames_valid)
+    out = jnp.zeros((B, F * hop), jnp.float32)
+    fv = jnp.max(frames_valid)
+    for start in range(0, F, chunk):
+        s0 = max(start - halo, 0)
+        s1 = min(start + chunk + halo, F)
+        zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
+        valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
+        n = min(chunk, F - start)
+
+        def vocode_window(out, zc=zc, valid=valid, s0=s0, start=start, n=n):
+            a = vocode_frames(params, cfg, zc, ge, valid)
+            piece = jax.lax.slice_in_dim(
+                a, (start - s0) * hop, (start - s0 + n) * hop, axis=1)
+            return jax.lax.dynamic_update_slice(
+                out, piece.astype(out.dtype), (0, start * hop))
+
+        out = jax.lax.cond(fv > start, vocode_window, lambda o: o, out)
+    return out
+
+
 def synthesize(
     params: Params,
     cfg: SoVITSConfig,

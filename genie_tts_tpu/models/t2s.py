@@ -358,19 +358,29 @@ def generate(
     p_len: jnp.ndarray,
     max_steps: int,
     cache_len: int,
-    min_steps: int = 0,
+    min_steps=0,
     use_flash: bool = False,
     layer_unroll: int = 1,
+    max_steps_dyn=None,
 ) -> GenerateResult:
     """Prefill + sample + full AR decode in one XLA program.
 
     ``min_steps``: EOS may not fire before this many tokens (0 = reference
-    behavior; also used to pin decode length in benchmarks).
+    behavior; also used to pin decode length in benchmarks). May be a
+    TRACED scalar — serving passes it dynamically so a min-steps ladder
+    shares one compiled graph.
+    ``max_steps``: STATIC decode cap — sizes the token buffer, the Gumbel
+    table and (via the caller) the KV cache. ``max_steps_dyn``: optional
+    traced per-call cap <= max_steps; the loop exits there while the
+    graph stays keyed on the static cap only (dynamic-ladder dispatch,
+    same scheme as the slot machine's per-row max_steps).
     ``use_flash``: route decode attention through the Pallas kernel
     (ops/flash_decode.py; TPU only).
     ``layer_unroll``: unroll factor of the per-step layer scan. Measured
     runtime-neutral on v5e at B<=8 while multiplying compile time, so the
     default stays 1; exposed for larger-batch tuning."""
+    ms_dyn = max_steps if max_steps_dyn is None else (
+        jnp.minimum(jnp.asarray(max_steps_dyn, jnp.int32), max_steps))
     B, Sx, D = x.shape
     Sp = prompts.shape[1]
     H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
@@ -427,7 +437,7 @@ def generate(
         argmax_eos = jnp.argmax(logits, axis=-1) == cfg.eos_id
         now_done = (argmax_eos | (nxt == cfg.eos_id)) & (step >= min_steps)
 
-        active = ~done & (step < max_steps)
+        active = ~done & (step < ms_dyn)
         nxt = jnp.where(active, nxt, cfg.eos_id)               # freeze finished rows
         write = jnp.minimum(step, max_steps - 1)
         tokens = tokens.at[:, write].set(
@@ -437,7 +447,7 @@ def generate(
         hist = hist + jax.nn.one_hot(nxt, V, dtype=jnp.int32) * (
             active).astype(jnp.int32)[:, None]
         counts = jnp.where(active, step + 1, counts)
-        done = done | now_done | (step + 1 >= max_steps)
+        done = done | now_done | (step + 1 >= ms_dyn)
         return done, tokens, counts, hist
 
     if B == 1 or use_flash:
@@ -447,7 +457,7 @@ def generate(
         # ops cost slightly more (measured 0.347 vs 0.359 ms/step).
         def cond(carry):
             step, done, *_ = carry
-            return (step < max_steps) & ~jnp.all(done)
+            return (step < ms_dyn) & ~jnp.all(done)
 
         def body(carry):
             step, done, tokens, counts, hist, k_cache, v_cache = carry
@@ -525,7 +535,7 @@ def generate(
 
     def cond(carry):
         seg, done, *_ = carry
-        return (seg * W + 1 < max_steps) & ~jnp.all(done)
+        return (seg * W + 1 < ms_dyn) & ~jnp.all(done)
 
     def body(carry):
         seg, done, tokens, counts, hist, k_big, v_big = carry
@@ -548,7 +558,7 @@ def generate(
             return kb, vb
 
         k_big, v_big = jax.lax.cond(
-            (seg_base + W < max_steps) & ~jnp.all(done),
+            (seg_base + W < ms_dyn) & ~jnp.all(done),
             merge, lambda c: c, (k_big, v_big))
         return seg + 1, done, tokens, counts, hist, k_big, v_big
 
@@ -558,7 +568,7 @@ def generate(
         cond, body,
         (jnp.int32(0), done0, tokens, counts0, hist0, k_cache, v_cache))
     return GenerateResult(tokens=tokens, counts=counts,
-                          steps=jnp.minimum(seg * W + 1, max_steps))
+                          steps=jnp.minimum(seg * W + 1, ms_dyn))
 
 
 def finalize_tokens_device(tokens: jnp.ndarray, counts: jnp.ndarray,
@@ -594,20 +604,24 @@ def generate_e2e(
     p_len: jnp.ndarray,
     max_steps: int,
     cache_len: int,
-    min_steps: int = 0,
+    min_steps=0,
     use_flash: bool = False,
     layer_unroll: int = 1,
+    max_steps_dyn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-dispatch T2S: embed + prefill + AR decode + EOS finalize.
 
     Returns (codes [B, max_steps], codes_len [B]) ready for the vocoder.
+    ``min_steps``/``max_steps_dyn`` may be traced scalars (see
+    :func:`generate`) — serving ladders then share one compiled graph.
     """
     if bert is None:
         bert = jnp.zeros(phones.shape + (cfg.bert_dim,), jnp.float32)
     x = embed_text(params, phones, bert)
     res = generate(params, cfg, scfg, key, x, x_len, prompts, p_len,
                    max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
-                   use_flash=use_flash, layer_unroll=layer_unroll)
+                   use_flash=use_flash, layer_unroll=layer_unroll,
+                   max_steps_dyn=max_steps_dyn)
     return finalize_tokens_device(res.tokens, res.counts, cfg.eos_id)
 
 

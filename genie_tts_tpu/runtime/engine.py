@@ -15,7 +15,9 @@ computed once per reference clip and cached by the model manager layer.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
+import os
 import threading
 from typing import Dict, Optional, Tuple
 
@@ -106,7 +108,8 @@ def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                     phones, bert, x_len, prompts, p_len, text, t_len,
                     ge, ge_mrte, noise_scale, max_steps, cache_len, min_steps,
                     use_flash=False, layer_unroll=1, codes_bucket=None,
-                    pcm16=False):
+                    pcm16=False, max_steps_dyn=None, vocode_chunk=0,
+                    vocode_halo=0):
     """Whole utterance in one XLA program: T2S decode + SoVITS vocode.
 
     Zero host syncs mid-utterance. ``codes_bucket`` sizes the vocoder
@@ -114,16 +117,30 @@ def _t2s_and_vocode(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
     a bucket covering ``max_steps`` so actual length never exceeds it —
     padded frames are masked, and the caller trims to
     ``2 * codes_len * hop`` samples. ``pcm16``: emit int16 PCM.
+    ``min_steps``/``max_steps_dyn`` are TRACED scalars (one compiled
+    graph per static decode cap serves any step ladder). When
+    ``vocode_chunk`` > 0 the vocode runs as in-graph halo chunks with
+    invalid windows SKIPPED (sovits.vocode_frames_chunked) — work stays
+    proportional to emitted length even with a coarse cap.
     """
     kg, ks = jax.random.split(key)
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
         max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
-        use_flash=use_flash, layer_unroll=layer_unroll)
+        use_flash=use_flash, layer_unroll=layer_unroll,
+        max_steps_dyn=max_steps_dyn)
     codes = _fit_codes(codes, codes_bucket or max_steps)
-    audio = sovits.synthesize(
-        sovits_params, vcfg, ks, codes, codes_len, text, t_len,
-        ge, ge_mrte, noise_scale)
+    if vocode_chunk:
+        z = sovits.synthesize_latent(
+            sovits_params, vcfg, ks, codes, codes_len, text, t_len,
+            ge, ge_mrte, noise_scale)
+        audio = sovits.vocode_frames_chunked(
+            sovits_params, vcfg, z, ge, 2 * codes_len,
+            chunk=vocode_chunk, halo=vocode_halo)
+    else:
+        audio = sovits.synthesize(
+            sovits_params, vcfg, ks, codes, codes_len, text, t_len,
+            ge, ge_mrte, noise_scale)
     if pcm16:
         audio = _to_pcm16(audio)
     return audio, codes_len
@@ -133,7 +150,8 @@ def _t2s_latent_first(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
                       phones, bert, x_len, prompts, p_len, text, t_len,
                       ge, ge_mrte, noise_scale, max_steps, cache_len,
                       min_steps, layer_unroll, codes_bucket, first_window,
-                      first_frames, use_flash=False, pcm16=False):
+                      first_frames, use_flash=False, pcm16=False,
+                      max_steps_dyn=None):
     """Streaming head: decode + latent + FIRST vocode chunk, one dispatch.
 
     Time-to-first-audio = (decode + latent + one small vocode window +
@@ -146,7 +164,8 @@ def _t2s_latent_first(t2s_params, sovits_params, tcfg, vcfg, scfg, key,
     codes, codes_len = t2s.generate_e2e(
         t2s_params, tcfg, scfg, kg, phones, bert, x_len, prompts, p_len,
         max_steps=max_steps, cache_len=cache_len, min_steps=min_steps,
-        use_flash=use_flash, layer_unroll=layer_unroll)
+        use_flash=use_flash, layer_unroll=layer_unroll,
+        max_steps_dyn=max_steps_dyn)
     codes = _fit_codes(codes, codes_bucket)
     z = sovits.synthesize_latent(
         sovits_params, vcfg, ks, codes, codes_len, text, t_len,
@@ -219,13 +238,17 @@ class TTSEngine:
         self._rng = np.random.default_rng(0)
         # jitted stage functions (shared across characters; retrace only on
         # new bucket shapes)
+        # min_steps / max_steps_dyn are TRACED: a step ladder (bench
+        # 100/150/200, user max_steps) shares one compiled graph per
+        # static decode cap (max_steps) — the r2 bench's 373 s compile
+        # sweep was 3x this ladder
         self._generate = jax.jit(
             t2s.generate,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash", "layer_unroll"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "use_flash", "layer_unroll"),
         )
         self._generate_e2e = jax.jit(
             t2s.generate_e2e,
-            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "min_steps", "use_flash", "layer_unroll"),
+            static_argnames=("cfg", "scfg", "max_steps", "cache_len", "use_flash", "layer_unroll"),
         )
         self._embed_text = jax.jit(t2s.embed_text)
         self._extract_prompt = jax.jit(t2s.extract_prompt_tokens)
@@ -235,17 +258,28 @@ class TTSEngine:
             sovits.synthesize_latent, static_argnames=("cfg",))
         self._vocode = jax.jit(
             sovits.vocode_frames, static_argnames=("cfg",))
+
+        def _vocode_pcm16(params, cfg, z, ge, valid):
+            return _to_pcm16(sovits.vocode_frames(params, cfg, z, ge, valid))
+
+        # int16 on device: the serving output format is PCM16 anyway, and
+        # the d2h audio fetch rides a ~30 MB/s tunnel — half the bytes is
+        # ~half the finisher's wall time (measured: the batched finisher
+        # is TRANSFER-bound, not compute-bound; latent 4 ms + HiFi-GAN
+        # 23 ms vs ~35 ms/MB of fetch)
+        self._vocode_pcm = jax.jit(_vocode_pcm16, static_argnames=("cfg",))
         self._ref_embed = jax.jit(
             sovits.reference_embedding, static_argnames=("cfg",))
         self._fused = jax.jit(
             _t2s_and_vocode,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
-                             "min_steps", "use_flash", "layer_unroll",
-                             "codes_bucket", "pcm16"))
+                             "use_flash", "layer_unroll",
+                             "codes_bucket", "pcm16", "vocode_chunk",
+                             "vocode_halo"))
         self._fused_first = jax.jit(
             _t2s_latent_first,
             static_argnames=("tcfg", "vcfg", "scfg", "max_steps", "cache_len",
-                             "min_steps", "layer_unroll", "codes_bucket",
+                             "layer_unroll", "codes_bucket",
                              "first_window", "first_frames", "use_flash",
                              "pcm16"))
         # device-side codes re-bucketing (static output length)
@@ -409,12 +443,13 @@ class TTSEngine:
         # bucket small enough that vocoding the whole bucket is cheaper
         # than the sync + extra dispatches it saves (tunneled hosts pay
         # 20-40 ms per blocking round trip).
-        if fixed_steps is not None or max_steps <= self.cfg.solo_fused_max_codes:
-            # codes_bucket rounds max_steps up to 32: max_steps is already a
-            # static key of this graph, so a snug bucket adds no compiles
-            # while trimming pad-frame vocode work vs a coarse ladder.
-            c_bucket = (max_steps if fixed_steps is not None
-                        else -(-max_steps // 32) * 32)
+        # static decode cap: requests bucket onto the step_caps ladder;
+        # actual min/max steps ride the dispatch as traced scalars (one
+        # graph per cap serves the whole ladder). fixed_steps (tests,
+        # dryruns) keeps a snug exact cap.
+        cap = (fixed_steps if fixed_steps is not None
+               else pick_bucket(max_steps, self.cfg.step_caps))
+        if fixed_steps is not None or cap <= self.cfg.solo_fused_max_codes:
             t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
             audio, codes_len = self._fused(
                 char.t2s_params, char.sovits_params,
@@ -428,12 +463,16 @@ class TTSEngine:
                 t_len=np.array([min(len(text_phones), t_bucket)], np.int32),
                 ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev,
                 noise_scale=noise_scale,
-                max_steps=max_steps,
-                cache_len=x_bucket + p_bucket + max_steps,
-                min_steps=fixed_steps if fixed_steps is not None else min_steps,
+                max_steps=cap,
+                cache_len=x_bucket + p_bucket + cap,
+                min_steps=np.int32(fixed_steps if fixed_steps is not None
+                                   else min_steps),
+                max_steps_dyn=np.int32(max_steps),
                 use_flash=self.cfg.use_flash_decode,
                 layer_unroll=self._unroll(tcfg),
-                codes_bucket=c_bucket, pcm16=pcm16)
+                codes_bucket=cap,
+                vocode_chunk=self.cfg.vocode_chunk,
+                vocode_halo=self.cfg.vocode_halo, pcm16=pcm16)
             # ONE blocking fetch for both buffers; trim on host (an
             # int(codes_len) -> device-slice -> fetch chain costs 2-3
             # extra ~25 ms round trips on tunneled hosts)
@@ -450,9 +489,10 @@ class TTSEngine:
             np.array([x_len], np.int32),
             ref.prompts_dev(p_bucket),
             np.array([p_len], np.int32),
-            max_steps=max_steps,
-            cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=min_steps,
+            max_steps=cap,
+            cache_len=x_bucket + p_bucket + cap,
+            min_steps=np.int32(min_steps),
+            max_steps_dyn=np.int32(max_steps),
             use_flash=self.cfg.use_flash_decode,
             layer_unroll=self._unroll(tcfg),
         )
@@ -497,10 +537,9 @@ class TTSEngine:
         batcher decodes many requests in one shared loop and vocodes each
         as it finishes). ``codes``: [n] int32 finalized semantic tokens.
         """
-        audio = self.vocode_codes_batch(
+        return self.vocode_codes_batch(
             char, [(ref, text_phones, codes)], seed=seed,
-            noise_scale=noise_scale)[0]
-        return _pcm16_host(audio) if pcm16 else audio
+            noise_scale=noise_scale, pcm16=pcm16)[0]
 
     def vocode_codes_batch(
         self,
@@ -509,11 +548,14 @@ class TTSEngine:
         seed: int = 0,
         noise_scale: float = 0.5,
         b_buckets: "Optional[tuple]" = None,
+        t_buckets: "Optional[tuple]" = None,
+        pcm16: bool = False,
     ) -> "list[np.ndarray]":
         """Batched codes -> waveform tail (dispatch + fetch in one call)."""
         handle = self.vocode_codes_dispatch(char, items, seed=seed,
                                             noise_scale=noise_scale,
-                                            b_buckets=b_buckets)
+                                            b_buckets=b_buckets,
+                                            t_buckets=t_buckets, pcm16=pcm16)
         return self.vocode_codes_fetch(handle)
 
     def vocode_codes_dispatch(
@@ -523,6 +565,8 @@ class TTSEngine:
         seed: int = 0,
         noise_scale: float = 0.5,
         b_buckets: "Optional[tuple]" = None,
+        t_buckets: "Optional[tuple]" = None,
+        pcm16: bool = False,
     ):
         """Async half of the batched codes -> waveform tail.
 
@@ -539,7 +583,7 @@ class TTSEngine:
         B = len(items)
         lens = np.array([len(c) for (_, _, c) in items], np.int32)
         if B == 0 or int(lens.max()) == 0:
-            empty = np.zeros((B, 0), np.float32)
+            empty = np.zeros((B, 0), np.int16 if pcm16 else np.float32)
             return ([jnp.asarray(empty)], [(0, 0)], lens, vcfg.hop_length)
         B_pad = max(pick_bucket(B, b_buckets or self.cfg.batch_buckets), B)
         items = list(items) + [items[0]] * (B_pad - B)
@@ -550,7 +594,8 @@ class TTSEngine:
             pad_to(c[:c_bucket].astype(np.int32), c_bucket)
             for (_, _, c) in items])
         t_lens = np.array([len(tp) for (_, tp, _) in items], np.int32)
-        t_bucket = pick_bucket(int(t_lens.max()), self.cfg.phoneme_buckets)
+        t_bucket = pick_bucket(int(t_lens.max()),
+                               t_buckets or self.cfg.phoneme_buckets)
         t_lens = np.minimum(t_lens, t_bucket)
         text_b = np.stack([pad_to(tp.astype(np.int32), t_bucket)
                            for (_, tp, _) in items])
@@ -559,7 +604,8 @@ class TTSEngine:
         z = self._latent(
             char.sovits_params, vcfg, jax.random.PRNGKey(seed),
             codes_b, lens, text_b, t_lens, ge_b, gm_b, noise_scale)
-        pieces, spans = self._vocode_dispatch(char, z, ge_b, lens)
+        pieces, spans = self._vocode_dispatch(char, z, ge_b, lens,
+                                              pcm16=pcm16)
         metrics.incr("utterances", B)
         return (pieces, spans, lens[:B], vcfg.hop_length)
 
@@ -572,22 +618,27 @@ class TTSEngine:
         in the dispatch half, which schedulers run on one thread)."""
         pieces, spans, lens, hop = handle
         audio = self._vocode_assemble(pieces, spans)
-        return [audio[i, : 2 * int(lens[i]) * hop].astype(np.float32)
-                for i in range(len(lens))]
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
+        return [audio[i, : 2 * int(lens[i]) * hop] for i in range(len(lens))]
 
-    def _vocode_dispatch(self, char: CharacterModel, z, ge, codes_len):
+    def _vocode_dispatch(self, char: CharacterModel, z, ge, codes_len,
+                         pcm16: bool = False):
         """Async half of chunked HiFi-GAN: dispatch all windows, no sync.
 
         z [B, F, 192] -> (pieces [device arrays], spans). Chunked so memory
-        stays bounded at any utterance length.
+        stays bounded at any utterance length. ``pcm16``: emit int16 on
+        device (halves the d2h transfer — the batched finisher is
+        transfer-bound on tunneled hosts).
         """
         vcfg = char.sovits_cfg
         B, F, _ = z.shape
         hop = vcfg.hop_length
         chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+        vocode = self._vocode_pcm if pcm16 else self._vocode
         frames_valid = 2 * codes_len                      # device [B]
         if F <= chunk + 2 * halo:
-            a = self._vocode(char.sovits_params, vcfg, z, ge, frames_valid)
+            a = vocode(char.sovits_params, vcfg, z, ge, frames_valid)
             return [a], [(0, F * hop)]
         pieces, spans = [], []
         for start in range(0, F, chunk):
@@ -595,7 +646,7 @@ class TTSEngine:
             s1 = min(start + chunk + halo, F)
             zc = jax.lax.slice_in_dim(z, s0, s1, axis=1)
             valid = jnp.clip(frames_valid - s0, 0, s1 - s0)
-            pieces.append(self._vocode(char.sovits_params, vcfg, zc, ge, valid))
+            pieces.append(vocode(char.sovits_params, vcfg, zc, ge, valid))
             spans.append(((start - s0) * hop, min(chunk, F - start) * hop))
         return pieces, spans
 
@@ -635,8 +686,23 @@ class TTSEngine:
         time-to-first-audio = decode + latent + one small vocode window +
         one tunnel round trip. Remaining chunks are sized exactly to the
         emitted length and fetched one blocking RPC each (they overlap the
-        device computing subsequent chunks)."""
+        device computing subsequent chunks).
+
+        With ``cfg.stream_segmented`` (default), requests that fit the
+        stream geometry route to the SEGMENTED path (runtime/stream.py):
+        decode runs in W-step segments and the first chunk is vocoded
+        from the first segment's codes — TTFA length-independent."""
         import time as _time
+
+        if self.cfg.stream_segmented:
+            from .stream import fits_stream, synthesize_stream_segments
+
+            if fits_stream(self.cfg, ref, text_phones):
+                yield from synthesize_stream_segments(
+                    self, char, ref, text_phones, text_bert,
+                    sampling=sampling, seed=seed, noise_scale=noise_scale,
+                    min_steps=min_steps, max_steps=max_steps, pcm16=pcm16)
+                return
 
         t_start = _time.perf_counter()
         scfg = sampling or SamplingConfig()
@@ -659,7 +725,8 @@ class TTSEngine:
         hop = vcfg.hop_length
         chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
         first = min(self.cfg.stream_first_chunk, chunk)
-        c_bucket = -(-max_steps // 32) * 32
+        cap = pick_bucket(max_steps, self.cfg.step_caps)
+        c_bucket = cap
         F = 2 * c_bucket
         t_bucket = pick_bucket(len(text_phones), self.cfg.phoneme_buckets)
 
@@ -674,8 +741,10 @@ class TTSEngine:
             text=pad_to(text_phones.astype(np.int32), t_bucket)[None],
             t_len=np.array([min(len(text_phones), t_bucket)], np.int32),
             ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev, noise_scale=noise_scale,
-            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=min_steps, use_flash=self.cfg.use_flash_decode,
+            max_steps=cap, cache_len=x_bucket + p_bucket + cap,
+            min_steps=np.int32(min_steps),
+            max_steps_dyn=np.int32(max_steps),
+            use_flash=self.cfg.use_flash_decode,
             layer_unroll=self._unroll(tcfg),
             codes_bucket=c_bucket, first_window=min(first + halo, F),
             first_frames=first, pcm16=pcm16)
@@ -731,6 +800,8 @@ class TTSEngine:
         scfg = sampling or SamplingConfig()
         tcfg, vcfg = char.t2s_cfg, char.sovits_cfg
         max_steps = fixed_steps or tcfg.max_decode_steps
+        cap = (fixed_steps if fixed_steps is not None
+               else pick_bucket(max_steps, self.cfg.step_caps))
         p_bucket = pick_bucket(len(ref.prompt_tokens), self.cfg.prompt_buckets)
         p_len = min(len(ref.prompt_tokens), p_bucket)
 
@@ -764,11 +835,15 @@ class TTSEngine:
                 t_len=np.array([min(len(text_phones), t_bucket)], np.int32),
                 ge=ref.ge_dev, ge_mrte=ref.ge_mrte_dev,
                 noise_scale=noise_scale,
-                max_steps=max_steps,
-                cache_len=x_bucket + p_bucket + max_steps,
-                min_steps=fixed_steps or 0,
+                max_steps=cap,
+                cache_len=x_bucket + p_bucket + cap,
+                min_steps=np.int32(fixed_steps or 0),
+                max_steps_dyn=np.int32(max_steps),
                 use_flash=self.cfg.use_flash_decode,
-                layer_unroll=self._unroll(tcfg))
+                layer_unroll=self._unroll(tcfg),
+                codes_bucket=cap,
+                vocode_chunk=self.cfg.vocode_chunk,
+                vocode_halo=self.cfg.vocode_halo)
             in_flight.append((audio, codes_len))
             if len(in_flight) >= window:
                 fetch_one()
@@ -829,6 +904,8 @@ class TTSEngine:
         p_lens = np.minimum(p_lens, p_bucket)
         t_lens = np.minimum(t_lens, t_bucket)
         max_steps = fixed_steps or max_steps or tcfg.max_decode_steps
+        cap = (fixed_steps if fixed_steps is not None
+               else pick_bucket(max_steps, self.cfg.step_caps))
 
         phones_b = np.stack([pad_to(p, x_bucket) for p in phones_rows])
         prompts_b = np.stack([pad_to(p, p_bucket) for p in prompt_rows])
@@ -840,8 +917,9 @@ class TTSEngine:
             char.t2s_params, tcfg, scfg, k_gen,
             self._dp_put(phones_b), bert_b, self._dp_put(x_lens),
             self._dp_put(prompts_b), self._dp_put(p_lens),
-            max_steps=max_steps, cache_len=x_bucket + p_bucket + max_steps,
-            min_steps=fixed_steps or min_steps,
+            max_steps=cap, cache_len=x_bucket + p_bucket + cap,
+            min_steps=np.int32(fixed_steps or min_steps),
+            max_steps_dyn=np.int32(max_steps),
             use_flash=self.cfg.use_flash_decode,
             layer_unroll=self._unroll(tcfg),
         )
@@ -863,6 +941,28 @@ class TTSEngine:
         return [audio[i, : 2 * int(lens[i]) * vcfg.hop_length].astype(np.float32)
                 for i in range(B)]
 
+    def _run_compile_units(self, units) -> int:
+        """Execute AOT compile thunks — concurrently off-CPU.
+
+        ``jit.lower(...).compile()`` traces under the GIL but compiles in
+        C++ with the GIL released, so a thread pool overlaps the XLA
+        compiles (measured: the serial sweep was 373 s on v5e). XLA:CPU
+        is excluded — concurrent CPU compiles have segfaulted on this
+        stack (see tests/conftest.py forensics); CPU warmups run serially.
+        """
+        if jax.default_backend() == "cpu" or len(units) <= 1:
+            for u in units:
+                u()
+            return len(units)
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(8, os.cpu_count() or 8)
+        with ThreadPoolExecutor(max_workers=workers,
+                                thread_name_prefix="warmup") as ex:
+            for _ in ex.map(lambda u: u(), units):
+                pass
+        return len(units)
+
     def warmup(self, char: CharacterModel, ref: ReferenceFeatures,
                sweep: bool = False) -> int:
         """Compile the steady-state graphs ahead of serving.
@@ -871,10 +971,13 @@ class TTSEngine:
         ``sweep=True``: AOT-compile (``jit(...).lower().compile()``, no
         execution) every bucket-ladder graph the serving path can hit —
         T2S decode per phoneme bucket (with and without BERT features),
-        SoVITS latent per (frame, text) bucket, HiFi-GAN vocode windows —
-        so a cold server never stalls multi-seconds on a mid-request
-        compile. Returns the number of graphs compiled; with the
-        persistent compile cache, reruns are near-instant.
+        SoVITS latent per (frame, text) bucket, HiFi-GAN vocode windows,
+        the batched finisher ladder, and (when slot serving is on) the
+        slot machine's prefill/insert/segment graphs — so a cold server
+        never stalls multi-seconds on a mid-request compile. Compiles run
+        CONCURRENTLY off-CPU (:meth:`_run_compile_units`). Returns the
+        number of graphs compiled; with the persistent compile cache,
+        reruns are near-instant.
         """
         if not sweep:
             phones = np.zeros(8, np.int32)
@@ -887,90 +990,146 @@ class TTSEngine:
         p_bucket = pick_bucket(len(ref.prompt_tokens), self.cfg.prompt_buckets)
         prompts = jnp.zeros((1, p_bucket), jnp.int32)
         ones = jnp.ones((1,), jnp.int32)
-        n = 0
+        units = []
         use_bert = ("chinese" in char.language.lower()
                     or "hybrid" in char.language.lower()
                     or char.language.lower() in ("zh", "zh_en"))
-        max_steps = tcfg.max_decode_steps
-        c_bucket = -(-max_steps // 32) * 32
+        max_steps = pick_bucket(tcfg.max_decode_steps, self.cfg.step_caps)
+        c_bucket = max_steps
         first = min(self.cfg.stream_first_chunk, self.cfg.vocode_chunk)
         first_window = min(first + self.cfg.vocode_halo, 2 * c_bucket)
         ge = jnp.zeros((1, vcfg.gin_channels, 1), jnp.float32)
         gm = jnp.zeros((1, vcfg.mrte_channels, 1), jnp.float32)
-        with metrics.timer("warmup_sweep"):
-            for xb in self.cfg.phoneme_buckets:
-                berts = [None] + ([jnp.zeros((1, xb, tcfg.bert_dim),
-                                             jnp.float32)] if use_bert else [])
-                for bert in berts:
-                    self._generate_e2e.lower(
-                        char.t2s_params, tcfg, scfg, key,
-                        jnp.zeros((1, xb), jnp.int32), bert, ones,
-                        prompts, ones, max_steps=max_steps,
-                        cache_len=xb + p_bucket + max_steps,
-                        min_steps=0,
-                        use_flash=self.cfg.use_flash_decode,
-                        layer_unroll=self._unroll(tcfg)).compile()
-                    n += 1
-                    # streaming head (decode+latent+first chunk fused);
-                    # text bucket <= packed bucket always
-                    for tb in self.cfg.phoneme_buckets:
-                        if tb > xb:
-                            continue
-                        self._fused_first.lower(
-                            char.t2s_params, char.sovits_params,
-                            tcfg=tcfg, vcfg=vcfg, scfg=scfg, key=key,
-                            phones=jnp.zeros((1, xb), jnp.int32), bert=bert,
-                            x_len=ones, prompts=prompts, p_len=ones,
-                            text=jnp.zeros((1, tb), jnp.int32), t_len=ones,
-                            ge=ge, ge_mrte=gm, noise_scale=0.5,
-                            max_steps=max_steps,
-                            cache_len=xb + p_bucket + max_steps,
-                            min_steps=0, layer_unroll=self._unroll(tcfg),
-                            codes_bucket=c_bucket,
-                            first_window=first_window, first_frames=first,
-                            use_flash=self.cfg.use_flash_decode,
-                            pcm16=False).compile()
-                        n += 1
-                        if max_steps > self.cfg.solo_fused_max_codes:
-                            continue
-                        # the fused solo path actually serves at this cap:
-                        # cover it too (serving emits PCM16)
-                        self._fused.lower(
-                            char.t2s_params, char.sovits_params,
-                            tcfg=tcfg, vcfg=vcfg, scfg=scfg, key=key,
-                            phones=jnp.zeros((1, xb), jnp.int32), bert=bert,
-                            x_len=ones, prompts=prompts, p_len=ones,
-                            text=jnp.zeros((1, tb), jnp.int32), t_len=ones,
-                            ge=ge, ge_mrte=gm, noise_scale=0.5,
-                            max_steps=max_steps,
-                            cache_len=xb + p_bucket + max_steps,
-                            min_steps=0,
-                            use_flash=self.cfg.use_flash_decode,
-                            layer_unroll=self._unroll(tcfg),
-                            codes_bucket=c_bucket, pcm16=True).compile()
-                        n += 1
-            for fb in self.cfg.frame_buckets:
+
+        def unit(fn, *args, **kwargs):
+            units.append(lambda: fn.lower(*args, **kwargs).compile())
+
+        for xb in self.cfg.phoneme_buckets:
+            berts = [None] + ([jnp.zeros((1, xb, tcfg.bert_dim),
+                                         jnp.float32)] if use_bert else [])
+            for bert in berts:
+                unit(self._generate_e2e,
+                     char.t2s_params, tcfg, scfg, key,
+                     jnp.zeros((1, xb), jnp.int32), bert, ones,
+                     prompts, ones, max_steps=max_steps,
+                     cache_len=xb + p_bucket + max_steps,
+                     min_steps=np.int32(0),
+                     max_steps_dyn=np.int32(max_steps),
+                     use_flash=self.cfg.use_flash_decode,
+                     layer_unroll=self._unroll(tcfg))
+                # streaming head (decode+latent+first chunk fused);
+                # text bucket <= packed bucket always
                 for tb in self.cfg.phoneme_buckets:
-                    self._latent.lower(
-                        char.sovits_params, vcfg, key,
-                        jnp.zeros((1, fb), jnp.int32), ones,
-                        jnp.zeros((1, tb), jnp.int32), ones,
-                        ge, gm, 0.5).compile()
-                    n += 1
-            # HiFi-GAN windows the chunked vocoder dispatches
-            chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
-            widths = {2 * fb for fb in self.cfg.frame_buckets
-                      if 2 * fb <= chunk + 2 * halo}
-            widths |= {chunk + halo, chunk + 2 * halo,
-                       min(self.cfg.stream_first_chunk, chunk) + halo}
-            for w in sorted(widths):
-                self._vocode.lower(
-                    char.sovits_params, vcfg,
-                    jnp.zeros((1, w, vcfg.inter_channels), jnp.float32),
-                    ge, ones).compile()
-                n += 1
+                    if tb > xb:
+                        continue
+                    unit(self._fused_first,
+                         char.t2s_params, char.sovits_params,
+                         tcfg=tcfg, vcfg=vcfg, scfg=scfg, key=key,
+                         phones=jnp.zeros((1, xb), jnp.int32), bert=bert,
+                         x_len=ones, prompts=prompts, p_len=ones,
+                         text=jnp.zeros((1, tb), jnp.int32), t_len=ones,
+                         ge=ge, ge_mrte=gm, noise_scale=0.5,
+                         max_steps=max_steps,
+                         cache_len=xb + p_bucket + max_steps,
+                         min_steps=np.int32(0),
+                         max_steps_dyn=np.int32(max_steps),
+                         layer_unroll=self._unroll(tcfg),
+                         codes_bucket=c_bucket,
+                         first_window=first_window, first_frames=first,
+                         use_flash=self.cfg.use_flash_decode,
+                         pcm16=False)
+                    if max_steps > self.cfg.solo_fused_max_codes:
+                        continue
+                    # the fused solo path actually serves at this cap:
+                    # cover it too (serving emits PCM16)
+                    unit(self._fused,
+                         char.t2s_params, char.sovits_params,
+                         tcfg=tcfg, vcfg=vcfg, scfg=scfg, key=key,
+                         phones=jnp.zeros((1, xb), jnp.int32), bert=bert,
+                         x_len=ones, prompts=prompts, p_len=ones,
+                         text=jnp.zeros((1, tb), jnp.int32), t_len=ones,
+                         ge=ge, ge_mrte=gm, noise_scale=0.5,
+                         max_steps=max_steps,
+                         cache_len=xb + p_bucket + max_steps,
+                         min_steps=np.int32(0),
+                         max_steps_dyn=np.int32(max_steps),
+                         use_flash=self.cfg.use_flash_decode,
+                         layer_unroll=self._unroll(tcfg),
+                         codes_bucket=c_bucket,
+                         vocode_chunk=self.cfg.vocode_chunk,
+                         vocode_halo=self.cfg.vocode_halo, pcm16=True)
+        for fb in self.cfg.frame_buckets:
+            for tb in self.cfg.phoneme_buckets:
+                unit(self._latent,
+                     char.sovits_params, vcfg, key,
+                     jnp.zeros((1, fb), jnp.int32), ones,
+                     jnp.zeros((1, tb), jnp.int32), ones,
+                     ge, gm, 0.5)
+        # HiFi-GAN windows the chunked vocoder dispatches
+        chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+        widths = {2 * fb for fb in self.cfg.frame_buckets
+                  if 2 * fb <= chunk + 2 * halo}
+        widths |= {chunk + halo, chunk + 2 * halo,
+                   min(self.cfg.stream_first_chunk, chunk) + halo}
+        for w in sorted(widths):
+            unit(self._vocode,
+                 char.sovits_params, vcfg,
+                 jnp.zeros((1, w, vcfg.inter_channels), jnp.float32),
+                 ge, ones)
+        if self.cfg.serve_slots:
+            from .slot_batcher import slot_warmup_units
+
+            units.extend(slot_warmup_units(self, char, pcm16=True))
+        if self.cfg.stream_segmented:
+            from .stream import stream_warmup_units
+
+            units.extend(stream_warmup_units(self, char, pcm16=True))
+        with metrics.timer("warmup_sweep"):
+            n = self._run_compile_units(units)
         logger.info("warmup sweep compiled %d graphs", n)
         return n
+
+    def finisher_warmup_units(self, char: CharacterModel, t_buckets=None,
+                              pcm16: bool = False) -> list:
+        """AOT thunks for the batched codes->waveform tail
+        (:meth:`vocode_codes_dispatch`): ``_latent`` at every
+        (batch, frame, text) bucket the finisher can hit plus the
+        HiFi-GAN windows at every batch bucket. ``t_buckets`` narrows the
+        text ladder (the slot batcher pins ONE text bucket so its
+        finisher key space stays small)."""
+        vcfg = char.sovits_cfg
+        key = jax.random.PRNGKey(0)
+        units = []
+        t_buckets = tuple(t_buckets or self.cfg.phoneme_buckets)
+        chunk, halo = self.cfg.vocode_chunk, self.cfg.vocode_halo
+        vocode = self._vocode_pcm if pcm16 else self._vocode
+        for b in self.cfg.batch_buckets:
+            lens = jnp.ones((b,), jnp.int32)
+            ge = jnp.zeros((b, vcfg.gin_channels, 1), jnp.float32)
+            gm = jnp.zeros((b, vcfg.mrte_channels, 1), jnp.float32)
+            widths = set()
+            for fb in self.cfg.frame_buckets:
+                for tb in t_buckets:
+                    units.append(functools.partial(
+                        lambda *a: self._latent.lower(*a).compile(),
+                        char.sovits_params, vcfg, key,
+                        jnp.zeros((b, fb), jnp.int32), lens,
+                        jnp.zeros((b, tb), jnp.int32), lens, ge, gm, 0.5))
+                # windows _vocode_dispatch slices out of z [b, 2*fb, :]
+                F = 2 * fb
+                if F <= chunk + 2 * halo:
+                    widths.add(F)
+                else:
+                    for start in range(0, F, chunk):
+                        s0 = max(start - halo, 0)
+                        widths.add(min(start + chunk + halo, F) - s0)
+            for w in sorted(widths):
+                units.append(functools.partial(
+                    lambda *a: vocode.lower(*a).compile(),
+                    char.sovits_params, vcfg,
+                    jnp.zeros((b, w, vcfg.inter_channels), jnp.float32),
+                    ge, lens))
+        return units
 
 
 # ---------------------------------------------------------------------------

@@ -28,12 +28,130 @@ import numpy as np
 
 from ..models import slots as slots_mod
 from ..models.t2s import finalize_semantic_tokens
-from ..ops.sampling import SamplingConfig
+from ..ops.sampling import SamplingConfig, SamplingRows, rows_from_config
 from ..utils.metrics import metrics
 from .buckets import pad_to
 from .engine import CharacterModel, ReferenceFeatures, TTSEngine
 
 logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Shared jitted slot graphs. Module-level (NOT per-batcher) so every
+# character with the same geometry reuses one compiled program — weights
+# are arguments, sampling parameters are per-row state arrays, and the
+# only static keys are the model config + slot geometry. One warmup pass
+# covers every character the server will ever load.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, donate_argnames=("kc", "vc"),
+    static_argnames=("tcfg", "W", "sx", "sp", "ring", "unroll"))
+def _seg_jit(params, kc, vc, small, key, *, tcfg, W, sx, sp, ring, unroll):
+    # Donation is split: ONLY the big KV caches donate (in-place reuse
+    # across dispatches). The small state leaves (done/counts/...) and
+    # seg_tokens must SURVIVE the next dispatch — the depth-1 pipelined
+    # loop fetches segment k's outputs after dispatching k+1.
+    state = small._replace(k_cache=kc, v_cache=vc)
+    state, seg_tok = slots_mod.decode_segment(
+        state=state, params=params, key=key, cfg=tcfg, seg_steps=W,
+        sx=sx, sp=sp, ring_len=ring, layer_unroll=unroll)
+    return (state.k_cache, state.v_cache,
+            state._replace(k_cache=0, v_cache=0), seg_tok)
+
+
+@functools.partial(jax.jit, donate_argnames=("kc", "vc"),
+                   static_argnames=("ring",))
+def _insert_jit(kc, vc, small, slot, ctx_k, ctx_v, tok0, hist,
+                x_len, p_len, mn, mx, samp, *, ring):
+    state = small._replace(k_cache=kc, v_cache=vc)
+    # ring safety invariant: a row may never decode more tokens
+    # than the ring holds (the merge would clobber its live keys)
+    mx = jnp.minimum(mx, np.int32(ring))
+    state = slots_mod.insert_slot(state, slot, ctx_k, ctx_v, tok0,
+                                  hist, x_len, p_len,
+                                  jnp.minimum(mn, mx), mx, samp)
+    return (state.k_cache, state.v_cache,
+            state._replace(k_cache=0, v_cache=0))
+
+
+@jax.jit
+def _release_jit(small, slot):  # touches flags only — no caches involved
+    return slots_mod.release_slot(small, slot)
+
+
+_prefill_jit = jax.jit(slots_mod.prefill_join, static_argnames=("cfg",))
+
+
+def slot_geometry(cfg, tcfg) -> "tuple[int, int, int, int, int]":
+    """(n_slots, seg_steps, ring, phoneme_bucket, prompt_bucket) — the
+    static geometry every slot graph is keyed on. Shared by the batcher
+    and the AOT warmup so they can never drift."""
+    W = cfg.slot_steps
+    ring = -(-min(cfg.slot_ring, tcfg.max_decode_steps) // W) * W
+    return (cfg.slot_batch, W, ring,
+            cfg.slot_phoneme_bucket, cfg.slot_prompt_bucket)
+
+
+def _slot_finisher_t_bucket(cfg) -> int:
+    """The ONE text bucket the slot finisher pads to (keeps its compiled
+    key space at batch x frame instead of batch x frame x text; the extra
+    MRTE/enc_text compute on padded text is negligible vs HiFi-GAN)."""
+    from .buckets import pick_bucket
+
+    return pick_bucket(cfg.slot_phoneme_bucket, cfg.phoneme_buckets)
+
+
+def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
+                      pcm16: bool = True) -> list:
+    """AOT lower+compile thunks for every slot-serving graph.
+
+    The slot graphs are module-level jits keyed only on model config +
+    geometry, so compiling them here (engine.warmup sweep) covers every
+    character the server will load. Inputs are ShapeDtypeStructs — no
+    device allocation. Includes the batched finisher ladder the slot
+    scheduler's completions hit (``engine.finisher_warmup_units``)."""
+    cfg, tcfg = engine.cfg, char.t2s_cfg
+    B, W, ring, sx, sp = slot_geometry(cfg, tcfg)
+    unroll = engine._unroll(tcfg)
+    params = char.t2s_params
+    state = jax.eval_shape(functools.partial(
+        slots_mod.init_slots, tcfg, B, sx, sp, ring,
+        dtype=params["audio_embed"].dtype))
+    kc, vc = state.k_cache, state.v_cache
+    small = state._replace(k_cache=0, v_cache=0)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    i32, f32 = jnp.int32, jnp.float32
+    samp1 = SamplingRows(sds((1,), i32), sds((1,), f32), sds((1,), f32),
+                         sds((1,), f32))
+    samp0 = SamplingRows(sds((), i32), sds((), f32), sds((), f32),
+                         sds((), f32))
+    scalar = sds((), i32)
+    units = []
+    prefill_kw = dict(key=key, phones=sds((1, sx), i32),
+                      x_len=sds((1,), i32), prompts=sds((1, sp), i32),
+                      p_len=sds((1,), i32), samp=samp1)
+    for bert in (None, sds((1, sx, tcfg.bert_dim), f32)):
+        units.append(functools.partial(
+            lambda b: _prefill_jit.lower(
+                params, cfg=tcfg, bert=b, **prefill_kw).compile(), bert))
+    ctx_k, ctx_v, tok0, hist = jax.eval_shape(
+        functools.partial(slots_mod.prefill_join, cfg=tcfg),
+        params, bert=None, **prefill_kw)
+    units.append(lambda: _insert_jit.lower(
+        kc, vc, small, scalar, ctx_k, ctx_v, tok0, hist,
+        scalar, scalar, scalar, scalar, samp0, ring=ring).compile())
+    units.append(lambda: _release_jit.lower(small, scalar).compile())
+    units.append(lambda: _seg_jit.lower(
+        params, kc, vc, small, key, tcfg=tcfg, W=W, sx=sx, sp=sp,
+        ring=ring, unroll=unroll).compile())
+    units.extend(engine.finisher_warmup_units(
+        char, t_buckets=(_slot_finisher_t_bucket(cfg),), pcm16=pcm16))
+    return units
 
 
 @dataclass
@@ -43,6 +161,7 @@ class _Request:
     bert: np.ndarray
     min_steps: int
     max_steps: int
+    sampling: Optional[SamplingConfig] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
@@ -54,57 +173,33 @@ class _Request:
 
 
 class SlotBatcher:
-    """Persistent B-slot decode loop with between-segment joins."""
+    """Persistent B-slot decode loop with between-segment joins.
+
+    ``pcm16``: finisher vocodes emit int16 on device and results are
+    int16 PCM — half the d2h bytes of f32 (the finisher is transfer-bound
+    on tunneled hosts; serving output is PCM16 anyway). The HTTP serving
+    path enables it; the default keeps f32 for API callers."""
 
     def __init__(self, engine: TTSEngine, char: CharacterModel,
-                 scfg: Optional[SamplingConfig] = None):
+                 pcm16: bool = False):
         self.engine = engine
         self.char = char
+        self.pcm16 = pcm16
         self.cfg = engine.cfg
-        self.scfg = scfg or SamplingConfig()
         tcfg = char.t2s_cfg
-        self.n_slots = self.cfg.slot_batch
-        self.W = self.cfg.slot_steps
-        self.ring = -(-min(self.cfg.slot_ring, tcfg.max_decode_steps)
-                      // self.W) * self.W
-        self.sx = self.cfg.slot_phoneme_bucket
-        self.sp = self.cfg.slot_prompt_bucket
+        (self.n_slots, self.W, self.ring,
+         self.sx, self.sp) = slot_geometry(self.cfg, tcfg)
         self._unroll = engine._unroll(tcfg)
+        # finisher vocodes pad text to ONE bucket: key space stays
+        # (batch x frame), all warmable ahead of traffic
+        self._t_buckets = (_slot_finisher_t_bucket(self.cfg),)
 
-        # Donation is split: ONLY the big KV caches donate (in-place reuse
-        # across dispatches). The small state leaves (done/counts/...) and
-        # seg_tokens must SURVIVE the next dispatch — the depth-1 pipelined
-        # loop fetches segment k's outputs after dispatching k+1.
-        def seg_fn(params, kc, vc, small, key):
-            state = small._replace(k_cache=kc, v_cache=vc)
-            state, seg_tok = slots_mod.decode_segment(
-                state=state, params=params, key=key, cfg=tcfg,
-                scfg=self.scfg, seg_steps=self.W, sx=self.sx, sp=self.sp,
-                ring_len=self.ring, layer_unroll=self._unroll)
-            return (state.k_cache, state.v_cache,
-                    state._replace(k_cache=0, v_cache=0), seg_tok)
-
-        def ins_fn(kc, vc, small, slot, ctx_k, ctx_v, tok0, hist,
-                   x_len, p_len, mn, mx):
-            state = small._replace(k_cache=kc, v_cache=vc)
-            # ring safety invariant: a row may never decode more tokens
-            # than the ring holds (the merge would clobber its live keys)
-            mx = jnp.minimum(mx, np.int32(self.ring))
-            state = slots_mod.insert_slot(state, slot, ctx_k, ctx_v, tok0,
-                                          hist, x_len, p_len,
-                                          jnp.minimum(mn, mx), mx)
-            return (state.k_cache, state.v_cache,
-                    state._replace(k_cache=0, v_cache=0))
-
-        def rel_fn(small, slot):  # touches flags only — no caches involved
-            return slots_mod.release_slot(small, slot)
-
-        self._decode_seg = jax.jit(seg_fn, donate_argnames=("kc", "vc"))
-        self._insert = jax.jit(ins_fn, donate_argnames=("kc", "vc"))
-        self._release = jax.jit(rel_fn)
-        self._prefill_join = jax.jit(
-            functools.partial(slots_mod.prefill_join, cfg=tcfg,
-                              scfg=self.scfg))
+        self._decode_seg = functools.partial(
+            _seg_jit, tcfg=tcfg, W=self.W, sx=self.sx, sp=self.sp,
+            ring=self.ring, unroll=self._unroll)
+        self._insert = functools.partial(_insert_jit, ring=self.ring)
+        self._release = _release_jit
+        self._prefill_join = functools.partial(_prefill_jit, cfg=tcfg)
 
         self._reset_state()
         self._slots: List[Optional[_Request]] = [None] * self.n_slots
@@ -115,6 +210,13 @@ class SlotBatcher:
         self._lock = threading.Lock()
         self._vocoder = ThreadPoolExecutor(max_workers=2,
                                            thread_name_prefix="slot-vocode")
+        # finished rows awaiting the batched finisher vocode. Vocoding each
+        # segment's finishers alone runs at B=1-2 (~108 ms/utt measured on
+        # v5e vs 43 ms/utt at B=8) and was the dominant serving cost; rows
+        # now POOL across segments and flush when enough collect, the
+        # oldest has waited slot_finisher_wait_segs segments, or the
+        # machine idles. [(req, count, age_in_segments)]
+        self._finish_pending: List[list] = []
 
     # -- public -----------------------------------------------------------
 
@@ -166,7 +268,8 @@ class SlotBatcher:
                 # bucket pick_bucket pads full finisher groups to
                 self.engine.vocode_codes_batch(
                     self.char, [(ref, text_phones, codes)]
-                    * min(b, self.n_slots))
+                    * min(b, self.n_slots), t_buckets=self._t_buckets,
+                    pcm16=self.pcm16)
                 n += 1
                 if b >= self.n_slots:
                     break
@@ -179,14 +282,18 @@ class SlotBatcher:
     def synthesize(self, ref: ReferenceFeatures, phones: np.ndarray,
                    bert: np.ndarray, timeout: Optional[float] = None,
                    min_steps: int = 0,
-                   max_steps: Optional[int] = None) -> np.ndarray:
-        """Blocking submit; decodes in-flight with concurrent requests."""
+                   max_steps: Optional[int] = None,
+                   sampling: Optional[SamplingConfig] = None) -> np.ndarray:
+        """Blocking submit; decodes in-flight with concurrent requests.
+
+        ``sampling`` is per-request: rows with different configs share the
+        same decode graph (per-row parameters live in the slot state)."""
         self.start()
         max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
                         self.ring)
         req = _Request(ref, phones.astype(np.int32), bert,
                        min_steps=min(min_steps, max_steps),
-                       max_steps=max_steps)
+                       max_steps=max_steps, sampling=sampling)
         self._q.put(req)
         if not req.done.wait(timeout):
             # stop burning slot-machine work on an abandoned request: the
@@ -247,19 +354,22 @@ class SlotBatcher:
         # a plain PRNGKey(counter*K+b) collides with PRNGKey(seg) streams
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(self._seg_counter), 1), b)
+        samp = rows_from_config(req.sampling or SamplingConfig(), 1)
         ctx_k, ctx_v, tok0, hist = self._prefill_join(
             self.char.t2s_params, key=key,
             phones=pad_to(packed, self.sx)[None], bert=bert,
             x_len=np.array([len(packed)], np.int32),
             prompts=ref.prompts_dev(self.sp),
-            p_len=np.array([len(ref.prompt_tokens)], np.int32))
+            p_len=np.array([len(ref.prompt_tokens)], np.int32),
+            samp=samp)
         req.tok0_dev = tok0   # fetched at completion time — a blocking
         # tok0 round trip here would serialize every join with the loop
         self._kc, self._vc, self._small = self._insert(
             self._kc, self._vc, self._small, np.int32(b), ctx_k, ctx_v,
             tok0, hist, np.int32(len(packed)),
             np.int32(len(ref.prompt_tokens)),
-            np.int32(req.min_steps), np.int32(req.max_steps))
+            np.int32(req.min_steps), np.int32(req.max_steps),
+            SamplingRows(*(a[0] for a in samp)))
         self._slots[b] = req
 
     def _harvest(self, seg_tok: np.ndarray, done: np.ndarray,
@@ -268,8 +378,9 @@ class SlotBatcher:
         """Collect one fetched segment. ``occupants`` is the slot list AT
         DISPATCH TIME — with the depth-1 pipeline a finished row can still
         appear (done) in the next in-flight segment, so completion is
-        guarded by the request's harvested flag."""
-        finished = []
+        guarded by the request's harvested flag. Finished rows pool in
+        ``_finish_pending`` for the batched finisher (flush policy in
+        :meth:`_flush_finishers_maybe`)."""
         for b, req in enumerate(occupants):
             if req is None or req.harvested:
                 continue
@@ -279,26 +390,49 @@ class SlotBatcher:
                 if self._slots[b] is req:
                     self._slots[b] = None
                 self._small = self._release(self._small, np.int32(b))
-                finished.append((req, int(counts[b])))
-        if not finished:
+                self._finish_pending.append([req, int(counts[b]), 0])
+
+    def _flush_finishers_maybe(self, force: bool = False) -> None:
+        """Dispatch the pooled finisher vocode when the batch is worth it.
+
+        Flush when: ``force`` (shutdown/idle — nothing to wait for), the
+        pool reached ``slot_finisher_batch`` rows, or the oldest row has
+        waited ``slot_finisher_wait_segs`` segments. Measured on v5e the
+        per-utterance vocode cost is 108/93/68/43 ms at B=1/2/4/8 — a
+        2-segment wait (~74 ms) that lifts B from 1 to 3-4 is a net win
+        under load while ``force``-on-idle keeps solo latency unchanged."""
+        pend = [e for e in self._finish_pending if not e[0].cancelled]
+        for e in self._finish_pending:
+            if e[0].cancelled and not e[0].done.is_set():
+                e[0].done.set()
+        self._finish_pending = pend
+        if not pend:
             return
-        # rows that finished in the same segment vocode as ONE batch. The
-        # DISPATCH half (which may compile) runs here on the scheduler
-        # thread — XLA:CPU segfaults when a compile races other threads'
-        # compute; workers only fetch device buffers.
-        reqs = [r for r, _ in finished]
+        oldest = max(e[2] for e in pend)
+        if not (force or len(pend) >= self.cfg.slot_finisher_batch
+                or oldest >= self.cfg.slot_finisher_wait_segs):
+            return
+        self._finish_pending = []
+        metrics.gauge("slot_finisher_rows", len(pend))
+        # pooled rows vocode as ONE batch. The DISPATCH half (which may
+        # compile) runs here on the scheduler thread — XLA:CPU segfaults
+        # when a compile races other threads' compute; workers only fetch
+        # device buffers.
+        reqs = [r for r, _, _ in pend]
         try:
             # one RPC for every first token (device_get batches buffers)
-            toks0 = jax.device_get([r.tok0_dev for r, _ in finished])
+            toks0 = jax.device_get([r.tok0_dev for r in reqs])
             items = []
-            for (req, count), tok0_arr in zip(finished, toks0):
+            for (req, count, _), tok0_arr in zip(pend, toks0):
                 tok0 = int(tok0_arr[0])
                 toks = np.concatenate([[tok0]] + req.seg_tokens)[:count]
                 codes = finalize_semantic_tokens(
                     toks[None], np.array([count]),
                     self.char.t2s_cfg.eos_id)[0]
                 items.append((req.ref, req.phones, codes))
-            handle = self.engine.vocode_codes_dispatch(self.char, items)
+            handle = self.engine.vocode_codes_dispatch(
+                self.char, items, t_buckets=self._t_buckets,
+                pcm16=self.pcm16)
         except BaseException as e:  # noqa: BLE001 — surface to the waiters
             logger.exception("slot vocode dispatch failed")
             for req in reqs:
@@ -339,11 +473,14 @@ class SlotBatcher:
         while self._running:
             try:
                 self._fill_slots(block=not self._occupied()
-                                 and pending is None)
+                                 and pending is None
+                                 and not self._finish_pending)
                 if self._occupied():
                     self._seg_counter += 1
                     key = jax.random.fold_in(
                         jax.random.PRNGKey(self._seg_counter), 0)
+                    metrics.gauge("slot_occupancy", sum(
+                        r is not None for r in self._slots))
                     with metrics.timer("slot_segment"):
                         self._kc, self._vc, self._small, seg_tok = \
                             self._decode_seg(self.char.t2s_params, self._kc,
@@ -357,8 +494,13 @@ class SlotBatcher:
                     with metrics.timer("slot_fetch"):
                         tok_np, done_np, counts_np = jax.device_get(
                             (seg_tok, done, counts))
+                    for e in self._finish_pending:
+                        e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
                 pending = dispatched
+                # idle machine: every live row is harvested, so nothing is
+                # coming that could grow the finisher batch — flush now
+                self._flush_finishers_maybe(force=not self._occupied())
             except BaseException as e:  # noqa: BLE001 — device/driver faults
                 # the machine's device state is suspect: fail every waiter
                 # loudly (reference-style worker-boundary isolation) and
@@ -369,6 +511,11 @@ class SlotBatcher:
                 self._reset_state()
 
     def _fail_all(self, e: BaseException) -> None:
+        for req, _, _ in self._finish_pending:
+            if not req.done.is_set():
+                req.error = e
+                req.done.set()
+        self._finish_pending = []
         for b, req in enumerate(self._slots):
             if req is not None and not req.harvested:
                 req.harvested = True

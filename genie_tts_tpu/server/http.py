@@ -19,6 +19,21 @@ from typing import Optional
 logger = logging.getLogger(__name__)
 
 
+def _sampling_from_payload(payload: dict):
+    """Optional per-request sampling overrides (top_k/top_p/temperature/
+    repetition_penalty). Requests carrying any of these still join the
+    slot machine — sampling parameters are per-row state there, not
+    compiled graph constants (ops/sampling.py::SamplingRows)."""
+    keys = ("top_k", "top_p", "temperature", "repetition_penalty")
+    if not any(k in payload for k in keys):
+        return None
+    from ..ops.sampling import SamplingConfig
+
+    base = SamplingConfig()
+    return SamplingConfig(**{k: type(getattr(base, k))(payload[k])
+                             for k in keys if k in payload})
+
+
 def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
     """Run a TTS session in this (worker) thread, pushing PCM16 chunks."""
     from .. import api
@@ -26,6 +41,7 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
     character = payload["character_name"]
     text = payload["text"]
     split = bool(payload.get("split_sentence", True))
+    sampling = _sampling_from_payload(payload)
     if character not in api._reference_audios:
         chunk_q.put(RuntimeError("set_reference_audio has not been called"))
         chunk_q.put(None)
@@ -38,7 +54,7 @@ def _synthesize_stream(payload: dict, chunk_q: "queue.Queue") -> None:
         # solo intra-utterance streaming path (lowest TTFA, no batching).
         want_stream = bool(payload.get("stream", False))
         batching = api.engine.cfg.serve_batching and not want_stream
-        synth, synth_stream = api._make_synth_fn(character,
+        synth, synth_stream = api._make_synth_fn(character, sampling=sampling,
                                                  use_batcher=batching)
         if batching:
             synth_stream = None  # sentence-granular chunks via the batcher

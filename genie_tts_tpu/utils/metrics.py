@@ -49,6 +49,7 @@ class Metrics:
     def __init__(self):
         self._lock = threading.Lock()
         self._stats: Dict[str, _Stat] = defaultdict(_Stat)
+        self._gauges: Dict[str, _Stat] = defaultdict(_Stat)
         self._counters: Dict[str, int] = defaultdict(int)
 
     @contextlib.contextmanager
@@ -65,20 +66,38 @@ class Metrics:
         with self._lock:
             self._stats[name].add(seconds)
 
+    def gauge(self, name: str, value: float) -> None:
+        """Unitless sample (occupancy, batch sizes) — no ms scaling."""
+        with self._lock:
+            self._gauges[name].add(value)
+
     def incr(self, name: str, by: int = 1) -> None:
         with self._lock:
             self._counters[name] += by
 
     def snapshot(self) -> Dict:
         with self._lock:
-            return {
+            snap = {
                 "timers": {k: s.summary() for k, s in self._stats.items()},
                 "counters": dict(self._counters),
             }
+            if self._gauges:
+                gauges = {}
+                for k, s in self._gauges.items():
+                    xs = sorted(s.samples)
+                    gauges[k] = {
+                        "count": s.count,
+                        "mean": round(s.total / s.count, 3),
+                        "p50": xs[len(xs) // 2],
+                        "last": s.samples[-1],
+                    }
+                snap["gauges"] = gauges
+            return snap
 
     def reset(self) -> None:
         with self._lock:
             self._stats.clear()
+            self._gauges.clear()
             self._counters.clear()
 
 

@@ -54,13 +54,19 @@ def main():
     from genie_tts_tpu.runtime.buckets import pad_to
     key = jax.random.PRNGKey(0)
 
+    from genie_tts_tpu.ops.sampling import SamplingConfig, SamplingRows, \
+        rows_from_config
+    samp = rows_from_config(SamplingConfig(), 1)
+    samp1 = SamplingRows(*(a[0] for a in samp))
+
     def do_prefill():
         return sb._prefill_join(
             char.t2s_params, key=key,
             phones=pad_to(packed, sb.sx)[None], bert=None,
             x_len=np.array([len(packed)], np.int32),
             prompts=ref.prompts_dev(sb.sp),
-            p_len=np.array([len(ref.prompt_tokens)], np.int32))
+            p_len=np.array([len(ref.prompt_tokens)], np.int32),
+            samp=samp)
 
     t_prefill = timed(do_prefill, n=20)
     print(f"prefill_join B=1: {t_prefill*1000:.2f} ms", flush=True)
@@ -72,7 +78,7 @@ def main():
         sb._kc, sb._vc, sb._small = sb._insert(
             sb._kc, sb._vc, sb._small, np.int32(0), ctx_k, ctx_v, tok0,
             hist, np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
-            np.int32(150), np.int32(206))
+            np.int32(150), np.int32(206), samp1)
         return sb._small.done
 
     t_insert = timed(do_insert, n=20)
@@ -87,7 +93,7 @@ def main():
             sb._kc, sb._vc, sb._small = sb._insert(
                 sb._kc, sb._vc, sb._small, np.int32(b), ck, cv, t0_, h_,
                 np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
-                np.int32(10_000), np.int32(sb.ring))  # never finish
+                np.int32(10_000), np.int32(sb.ring), samp1)  # never finish
 
         def do_seg():
             sb._kc, sb._vc, sb._small, seg_tok = sb._decode_seg(

@@ -140,6 +140,18 @@ def test_concurrent_tts_window_batches_when_slots_off():
         object.__setattr__(api.engine.cfg, "serve_slots", True)
 
 
+def test_custom_sampling_joins_slot_machine():
+    """Non-default sampling no longer falls to the window batcher:
+    sampling parameters are per-row slot state (VERDICT r2 item 5)."""
+    metrics.reset()
+    r = _post("/tts", {"character_name": "batchy", "text": "やあ、どうも。",
+                       "split_sentence": False, "top_k": 3,
+                       "temperature": 0.7, "repetition_penalty": 1.1})
+    assert len(r.read()) > 0
+    done = metrics.snapshot()["counters"].get("slot_utterances", 0)
+    assert done >= 1, "custom-sampling request bypassed the slot batcher"
+
+
 def test_stream_flag_bypasses_batcher():
     r = _post("/tts", {"character_name": "batchy", "text": "やあ。",
                        "split_sentence": False, "stream": True})
@@ -151,6 +163,23 @@ def test_warmup_sweep_compiles():
 
     char = model_manager.get("batchy")
     ref = make_random_reference(char, api.engine, ref_seconds=0.2)
-    n = api.engine.warmup(char, ref, sweep=True)
-    # phoneme ladder (no bert for JA) + latent grid + vocode windows
-    assert n >= len(api.engine.cfg.phoneme_buckets) + len(api.engine.cfg.frame_buckets)
+    cfg = api.engine.cfg
+    # shrink the ladders: the sweep now also covers the slot + finisher
+    # graphs, and XLA:CPU compiles serially — full ladders take minutes
+    saved = {k: getattr(cfg, k) for k in
+             ("phoneme_buckets", "frame_buckets", "batch_buckets",
+              "slot_batch", "slot_steps", "slot_ring",
+              "slot_phoneme_bucket", "slot_prompt_bucket")}
+    try:
+        for k, v in dict(phoneme_buckets=(32,), frame_buckets=(64,),
+                         batch_buckets=(1, 2), slot_batch=2, slot_steps=4,
+                         slot_ring=8, slot_phoneme_bucket=32,
+                         slot_prompt_bucket=32).items():
+            object.__setattr__(cfg, k, v)
+        n = api.engine.warmup(char, ref, sweep=True)
+    finally:
+        for k, v in saved.items():
+            object.__setattr__(cfg, k, v)
+    # solo ladder + latent grid + vocode windows + slot graphs (prefill x2,
+    # insert, release, segment) + finisher ladder
+    assert n >= len(cfg.phoneme_buckets) + len(cfg.frame_buckets) + 5

@@ -43,13 +43,17 @@ def _solo_greedy(params, phones, x_len, prompts, p_len, steps):
 
 
 def _join(params, state, slot, phones, x_len, prompts, p_len,
-          min_steps, max_steps):
+          min_steps, max_steps, scfg=GREEDY):
+    from genie_tts_tpu.ops.sampling import SamplingRows, rows_from_config
+
+    samp = rows_from_config(scfg, 1)
     ctx_k, ctx_v, tok0, hist = slots.prefill_join(
-        params, CFG, GREEDY, jax.random.PRNGKey(0),
-        phones, None, x_len, prompts, p_len)
+        params, CFG, jax.random.PRNGKey(0),
+        phones, None, x_len, prompts, p_len, samp)
     state = slots.insert_slot(
         state, jnp.int32(slot), ctx_k, ctx_v, tok0, hist,
-        x_len[0], p_len[0], jnp.int32(min_steps), jnp.int32(max_steps))
+        x_len[0], p_len[0], jnp.int32(min_steps), jnp.int32(max_steps),
+        SamplingRows(*(a[0] for a in samp)))
     return state, int(tok0[0])
 
 
@@ -76,7 +80,7 @@ def test_slot_solo_matches_generate(params):
     got = [tok0]
     for seg in range(RING // W):
         state, seg_tok = slots.decode_segment(
-            params, state, jax.random.PRNGKey(100 + seg), CFG, GREEDY,
+            params, state, jax.random.PRNGKey(100 + seg), CFG,
             W, SX, SP, RING)
         got.extend(np.asarray(seg_tok)[0])
         if bool(np.asarray(state.done)[0]):
@@ -107,7 +111,7 @@ def test_slot_staggered_join_matches_solo(params):
     gotA, gotB = [tokA], []
     # one segment with A alone, then B joins slot 2
     state, seg_tok = slots.decode_segment(
-        params, state, jax.random.PRNGKey(0), CFG, GREEDY, W, SX, SP, RING)
+        params, state, jax.random.PRNGKey(0), CFG, W, SX, SP, RING)
     gotA.extend(np.asarray(seg_tok)[0])
     state, tokB = _join(params, state, 2,
                         jnp.asarray(_pad_row(idsB, SX))[None], jnp.array([4]),
@@ -116,7 +120,7 @@ def test_slot_staggered_join_matches_solo(params):
     gotB.append(tokB)
     for seg in range(RING // W):
         state, seg_tok = slots.decode_segment(
-            params, state, jax.random.PRNGKey(1 + seg), CFG, GREEDY,
+            params, state, jax.random.PRNGKey(1 + seg), CFG,
             W, SX, SP, RING)
         gotA.extend(np.asarray(seg_tok)[0])
         gotB.extend(np.asarray(seg_tok)[2])
@@ -144,7 +148,7 @@ def test_slot_ring_reuse_after_release(params):
                      jnp.asarray(_pad_row(prm, SP))[None], jnp.array([3]),
                      8, 8)
     state, _ = slots.decode_segment(
-        params, state, jax.random.PRNGKey(0), CFG, GREEDY, W, SX, SP, RING)
+        params, state, jax.random.PRNGKey(0), CFG, W, SX, SP, RING)
     assert bool(np.asarray(state.done)[0])
     state = slots.release_slot(state, jnp.int32(0))
     # rejoin the same slot with a fresh request; ring head is mid-ring now
@@ -155,7 +159,7 @@ def test_slot_ring_reuse_after_release(params):
     got = [tok0]
     for seg in range(RING // W):
         state, seg_tok = slots.decode_segment(
-            params, state, jax.random.PRNGKey(5 + seg), CFG, GREEDY,
+            params, state, jax.random.PRNGKey(5 + seg), CFG,
             W, SX, SP, RING)
         got.extend(np.asarray(seg_tok)[0])
         if bool(np.asarray(state.done)[0]):

@@ -22,10 +22,14 @@ VCFG = SoVITSConfig(
     resblock_kernels=(3,), resblock_dilations=((1, 3),),
     n_fft=64, hop_length=8, win_length=64,
 )
-# tiny vocode chunks to force the chunked path; halo 8 > tiny-model RF
+# tiny vocode chunks to force the chunked path; halo 8 > tiny-model RF.
+# stream_segmented OFF: these tests assert EXACT equality with the
+# non-streamed output, which only the fused head guarantees (the
+# segmented path trades prefix-latent exactness for length-independent
+# TTFA — covered by tests/test_stream_segmented.py).
 RCFG = RuntimeConfig(
     phoneme_buckets=(16, 32), prompt_buckets=(16,), frame_buckets=(32,),
-    vocode_chunk=16, vocode_halo=8,
+    vocode_chunk=16, vocode_halo=8, stream_segmented=False,
 )
 
 
