@@ -165,21 +165,29 @@ def main():
     # metric that matters for interactivity)
     import os as _os
     fast = bool(_os.environ.get("GENIE_BENCH_FAST"))
-    ttfa_p50_ms = None
-    try:
+    ttfa_p50_ms = ttfa200_p50_ms = None
+
+    def ttfa_run(min_steps, n):
         ttfas = []
-        for i, s in enumerate(suite[:3 if fast else 20]):
+        for i, s in enumerate(suite[:n]):
             phones = phones_cache[s]
             bert = np.zeros((len(phones), tcfg.bert_dim), np.float32)
             t1 = time.perf_counter()
             gen = engine.synthesize_utterance_stream(
                 char, ref, phones, bert, sampling=scfg, seed=100 + i,
-                min_steps=100, max_steps=156, pcm16=True)
+                min_steps=min_steps, max_steps=min_steps + 56, pcm16=True)
             next(gen)
             ttfas.append(time.perf_counter() - t1)
             for _ in gen:
                 pass
-        ttfa_p50_ms = float(np.percentile(ttfas, 50)) * 1000
+        return float(np.percentile(ttfas, 50)) * 1000
+
+    try:
+        n = 3 if fast else 20
+        ttfa_p50_ms = ttfa_run(100, n)
+        # length-INDEPENDENCE check (segmented streaming): TTFA at the
+        # 200-step ladder should match the 100-step number, not double it
+        ttfa200_p50_ms = ttfa_run(200, max(n // 2, 3))
     except Exception as e:  # noqa: BLE001
         print(f"# ttfa stage skipped: {e}", file=sys.stderr)
 
@@ -260,7 +268,7 @@ def main():
 
     # ---- in-flight slot serving (the default /tts path): 6 clients whose
     # requests JOIN the persistent decode machine between ~32-step segments
-    slots_utt_per_sec = slots_p50_ms = None
+    slots_utt_per_sec = slots_p50_ms = slots_occupancy = None
     try:
         if fast:
             raise RuntimeError("skipped (GENIE_BENCH_FAST)")
@@ -286,6 +294,9 @@ def main():
 
         # compile pass: vocode ladder + prefill/insert/segment graphs
         slot_b.warmup(ref, phones_cache[suite[0]], max_steps=206)
+        from genie_tts_tpu.utils.metrics import metrics as _metrics
+
+        _metrics.reset()
         req_lat.clear()
         t0 = time.perf_counter()
         threads = [threading.Thread(target=s_client, args=(i,))
@@ -297,6 +308,8 @@ def main():
         t_serve = time.perf_counter() - t0
         slots_utt_per_sec = (N_CLIENTS * N_REQ) / t_serve
         slots_p50_ms = float(np.percentile(req_lat, 50)) * 1000
+        occ = _metrics.snapshot().get("gauges", {}).get("slot_occupancy")
+        slots_occupancy = occ["mean"] if occ else None
     except Exception as e:  # noqa: BLE001
         slot_b = None
         print(f"# slot serving stage skipped: {e}", file=sys.stderr)
@@ -335,11 +348,18 @@ def main():
             batcher.synthesize(char, ref, ph, bert, sampling=scfg,
                                timeout=600, max_steps=206, min_steps=150)
 
+        # MIXED per-request sampling: per-row SamplingRows in the slot
+        # state mean non-default configs still join the machine (they
+        # used to fall through to the collapsing window path)
+        samp_mix = (scfg, SamplingConfig(top_k=5, temperature=0.8),
+                    SamplingConfig(top_p=0.7, repetition_penalty=1.1))
+
         def sub_slots(i):
             ph = phones_cache[suite[i % len(suite)]]
             bert = np.zeros((len(ph), tcfg.bert_dim), np.float32)
             slot_b.synthesize(ref, ph, bert, timeout=600,
-                              max_steps=206, min_steps=150)
+                              max_steps=206, min_steps=150,
+                              sampling=samp_mix[i % 3])
 
         open_window_p50_ms = open_loop(sub_window)
         open_slots_p50_ms = open_loop(sub_slots)
@@ -360,6 +380,8 @@ def main():
             "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
             "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
             "ttfa_p50_ms": round(ttfa_p50_ms, 1) if ttfa_p50_ms else None,
+            "ttfa200_p50_ms": (round(ttfa200_p50_ms, 1)
+                               if ttfa200_p50_ms else None),
             "batched_b8_utt_per_sec": (round(batched_utt_per_sec, 2)
                                        if batched_utt_per_sec else None),
             "batched_rtf_per_chip": (round(batched_rtf, 4)
@@ -372,6 +394,7 @@ def main():
                                    if slots_utt_per_sec else None),
             "slots6_p50_ms": (round(slots_p50_ms, 1)
                               if slots_p50_ms else None),
+            "slots6_occupancy": slots_occupancy,
             "open_window_p50_ms": (round(open_window_p50_ms, 1)
                                    if open_window_p50_ms else None),
             "open_slots_p50_ms": (round(open_slots_p50_ms, 1)
