@@ -87,6 +87,10 @@ def char_pinyin(ch: str) -> str | None:
         out = pypinyin.pinyin(ch, style=pypinyin.Style.TONE3, neutral_tone_with_five=True)
         if out and out[0][0] != ch:
             return out[0][0]
+    from . import polyphone
+
+    if polyphone.is_polyphonic(ch):
+        return polyphone.predict(ch, ch, 0)
     if ch not in _warned_oov and len(_warned_oov) < 20:
         _warned_oov.add(ch)
         logger.warning("no pinyin for %r (provide GenieData pinyin_chars.tsv "
@@ -94,11 +98,31 @@ def char_pinyin(ch: str) -> str | None:
     return None
 
 
-def word_pinyins(word: str) -> List[str | None]:
+def word_pinyins(word: str,
+                 ctx: "Tuple[str, int, str] | None" = None
+                 ) -> List[str | None]:
+    """Per-char pinyin for ``word``; dictionary first, then the
+    context-sensitive polyphone model (frontend/polyphone.py — the
+    reference's g2pM role, ``ChineseG2P.py:113-172``), then the first
+    char-dictionary reading.
+
+    ``ctx``: (sentence, start_index_of_word, jieba_pos) — lets the
+    polyphone model see cross-word context exactly like g2pM's
+    whole-sentence inference. Without it the word itself is the context
+    (in-word cues and defaults still apply)."""
     _, words = _dicts()
     if word in words:
         return list(words[word])
-    return [char_pinyin(c) for c in word]
+    from . import polyphone
+
+    sent, start, pos = ctx if ctx is not None else (word, 0, "")
+    out: List[str | None] = []
+    for i, c in enumerate(word):
+        if polyphone.is_polyphonic(c):
+            out.append(polyphone.predict(c, sent, start + i, pos))
+        else:
+            out.append(char_pinyin(c))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +304,14 @@ def chinese_to_phone_data(text: str):
         from .tone_sandhi import modified_tone, pre_merge
 
         seg_cut = pre_merge(seg_cut, lambda w: [p or "" for p in word_pinyins(w)])
+        # sentence-context string for the polyphone model: the segmented
+        # words concatenated (cues align across word boundaries, like
+        # g2pM's whole-sentence inference)
+        ctx_sent = "".join(w for w, _ in seg_cut)
+        offset = 0
         for word, pos in seg_cut:
+            start = offset
+            offset += len(word)
             if pos == "eng":
                 continue
             if not _HANZI_RE.search(word):
@@ -290,7 +321,7 @@ def chinese_to_phone_data(text: str):
                         phones.append(ch)
                         word2ph.append(1)
                 continue
-            py = word_pinyins(word)
+            py = word_pinyins(word, ctx=(ctx_sent, start, pos))
             known = [p for p in py if p]
             if len(known) != len(word):
                 # unknown chars inside the word: emit what we can, skip rest
