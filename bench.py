@@ -276,7 +276,9 @@ def main():
 
         from genie_tts_tpu.runtime.slot_batcher import SlotBatcher
 
-        slot_b = SlotBatcher(engine, char)
+        # pcm16 mirrors the serving default (api.get_slot_batcher):
+        # int16 finisher fetches halve the ~1 MB/utt d2h tunnel bytes
+        slot_b = SlotBatcher(engine, char, pcm16=True)
         req_lat = []
         lat_lock = threading.Lock()
         N_CLIENTS, N_REQ = 6, 6
