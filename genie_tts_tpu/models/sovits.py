@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SoVITSConfig
-from ..ops.layers import conv1d, conv1d_ncw, conv_transpose1d, conv_transpose1d_ncw
+from ..ops.layers import (conv1d, conv1d_ncw, conv1d_ncw_shiftdot,
+                          conv_transpose1d, conv_transpose1d_ncw)
 
 Params = Dict
 
@@ -224,15 +225,44 @@ def flow_reverse(p_stack, x, mask_t, g, cfg: SoVITSConfig):
 # HiFi-GAN generator (MRF)
 # ---------------------------------------------------------------------------
 
+def _use_shiftdot(batch: int, channels: int, kernel: int) -> bool:
+    """Per-site choice between XLA's conv lowering and the shift+dot
+    formulation (ops.layers.conv1d_ncw_shiftdot) for the HiFi-GAN tail.
+
+    Measured on v5e. Per-site (scripts/exp_hifigan_convs.py): shift+dot
+    wins for small-channel/short-kernel sites (k=3 at C<=64, conv_post)
+    and loses for wide kernels at larger C (k=11 C=64: 0.6x). Whole-graph
+    (scripts/exp_hifigan_policy.py): those wins hold at B<=4 (B=1 F=304:
+    23.3 -> 15.9 ms; B=4: 72.5 -> 55.4) but invert at B=8 (62.9 -> 89.2),
+    where XLA's batched conv lowering already saturates — so the policy is
+    also batch-gated. Override for experiments with
+    GENIE_HIFIGAN_SHIFTDOT=never|always.
+    """
+    import os
+
+    mode = os.environ.get("GENIE_HIFIGAN_SHIFTDOT", "")
+    if mode == "never":
+        return False
+    if mode == "always":
+        return True
+    return batch <= 4 and (kernel <= 3 or channels <= 32)
+
+
+def _res_conv(p, x, kernel: int, dilation: int, padding: int):
+    if _use_shiftdot(x.shape[0], x.shape[1], kernel):
+        return conv1d_ncw_shiftdot(p, x, padding=padding, dilation=dilation)
+    return conv1d_ncw(p, x, padding=padding, dilation=dilation)
+
+
 def _resblock(p, x, kernel: int, dilations: Tuple[int, ...], mask_t):
     """MRF residual block in NCW layout ([B, C, T]). ``mask_t`` ([B, 1, T])
     zeroes pad positions after every conv so bucketed (padded) execution is
     bit-equivalent to exact-length."""
     for d, c1, c2 in zip(dilations, p["convs1"], p["convs2"]):
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        h = conv1d_ncw(c1, h, padding=(kernel * d - d) // 2, dilation=d) * mask_t
+        h = _res_conv(c1, h, kernel, d, (kernel * d - d) // 2) * mask_t
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
-        h = conv1d_ncw(c2, h, padding=(kernel - 1) // 2) * mask_t
+        h = _res_conv(c2, h, kernel, 1, (kernel - 1) // 2) * mask_t
         x = x + h
     return x
 
@@ -278,7 +308,10 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
     # verified against the reference graph (vits_fp32.onnx node
     # /vq_model/dec/LeakyRelu_5, alpha=0.01; HiFi-GAN's F.leaky_relu(x))
     x = jax.nn.leaky_relu(x, 0.01)
-    x = conv1d_ncw(p["conv_post"], x, padding=3) * mask
+    if _use_shiftdot(x.shape[0], x.shape[1], 7):
+        x = conv1d_ncw_shiftdot(p["conv_post"], x, padding=3) * mask
+    else:
+        x = conv1d_ncw(p["conv_post"], x, padding=3) * mask
     return jnp.tanh(x.astype(jnp.float32))[:, 0, :]
 
 

@@ -127,6 +127,33 @@ def conv1d_ncw(
     return y
 
 
+def conv1d_ncw_shiftdot(params, x: jnp.ndarray, padding: int = 0,
+                        dilation: int = 1) -> jnp.ndarray:
+    """k-tap dilated conv as k shifted copies + ONE contraction (NCW).
+
+    XLA:TPU's convolution lowering for long-T / few-channel NCW tensors
+    (HiFi-GAN tails) leaves 1.3-2.3x on the table vs expressing the same
+    math as a stack of slice-shifted inputs contracted in a single
+    dot_general (measured on v5e at B=8: k=3 C=16 T=194k conv 3.88 ms ->
+    1.72 ms; conv_post 4.47 -> 2.57 ms; scripts/exp_hifigan_convs.py).
+    Numerically identical to :func:`conv1d_ncw` up to bf16 reassociation.
+
+    Same-length output only (output T == input T, pad as given).
+    """
+    w = params["w"].astype(x.dtype)           # [k, Ci, Co]
+    k = w.shape[0]
+    T = x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    xs = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xp, j * dilation, T, axis=2)
+        for j in range(k)])                   # [k, B, Ci, T]
+    y = jnp.einsum("jbct,jcd->bdt", xs, w,
+                   preferred_element_type=x.dtype)
+    if "b" in params:
+        y = y + params["b"][None, :, None]
+    return y
+
+
 def conv_transpose1d_ncw(params, x: jnp.ndarray, stride: int, padding: int = 0) -> jnp.ndarray:
     """Transposed 1D conv in NCW layout (torch ConvTranspose1d semantics).
 
