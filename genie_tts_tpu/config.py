@@ -172,6 +172,27 @@ class RuntimeConfig:
     # machine flushes immediately so solo latency is unaffected.
     slot_finisher_batch: int = 4
     slot_finisher_wait_segs: int = 2
+    # int8 KV cache for the slot machine: the big K/V caches hold int8
+    # codes + per-column fp32 scales (models/slots.py::quantize_kv_columns)
+    # so each decode step streams HALF the cache bytes (the dominant HBM
+    # stream at the 8x896 slot geometry). The in-segment write buffer and
+    # prefill stay exact; quality gate: tests/test_e2e_parity.py
+    # (kv-int8 token agreement + waveform bound at d=512).
+    #
+    # DEFAULT OFF: measured on v5e, the pure-XLA int8 path REGRESSES the
+    # decode segment (36 -> 45 ms per 32-step segment at occupancy 8)
+    # whenever the decode weights are also int8 — XLA stops fusing the
+    # cache dequant into the attention dots (isolated: int8 KV alone wins
+    # 38->34 ms; with int8 weights even the bare int8->bf16 converts cost
+    # +6 ms/segment). The Pallas kernel (ops/int8_decode.py, used
+    # automatically on TPU when this flag is on) recovers most of that
+    # (41 ms) but still trails bf16 — its VPU dequant+FMA outweighs the
+    # saved bytes; full analysis in the kernel docstring. Opt in with
+    # GENIE_SLOT_KV_INT8=1 (e.g. if HBM pressure ever matters more than
+    # step latency: the int8 cache is half the footprint).
+    slot_kv_int8: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_SLOT_KV_INT8", "0").lower() in ("1", "true", "on"))
     # Pallas flash-decode attention in the AR loop (TPU only; measured
     # neutral at B=1, revisit for large-batch serving). GENIE_FLASH_DECODE=1.
     use_flash_decode: bool = dataclasses.field(

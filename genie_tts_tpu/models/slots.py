@@ -31,7 +31,7 @@ never wraps.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,12 @@ class SlotState(NamedTuple):
 
     k_cache: jnp.ndarray      # [L,B,H,Dh,S]  S = Sx+Sp+ring_len, kv-major
     v_cache: jnp.ndarray      # [L,B,H,Dh,S]
+    # int8 KV mode (init_slots kv_int8=True): caches hold int8 codes and
+    # these carry the per-column fp32 dequant scales [L,B,H,S]; None in
+    # the exact bf16/fp32 mode (the two modes are distinct pytrees, so
+    # they compile to distinct programs — no runtime branch)
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
     cur_tok: jnp.ndarray      # [B] last sampled token per row
     keys_written: jnp.ndarray  # [B] ring columns this row has written
     counts: jnp.ndarray       # [B] tokens emitted (frozen once done)
@@ -71,15 +77,34 @@ class SlotState(NamedTuple):
                             repetition_penalty=self.samp_rep)
 
 
+def quantize_kv_columns(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-column symmetric int8 quantization of K/V columns.
+
+    x [..., Dh, S] -> (int8 codes [..., Dh, S], fp32 scale [..., S]); the
+    scale is the column's max-|.| over Dh divided by 127 (near-lossless
+    per-token KV quantization). Decode is HBM-bound streaming the whole
+    cache every step (BENCH_r02: decode_segment ~352 MB/step of bf16 KV at
+    the 8x896 slot geometry); int8 halves those bytes.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-2), 1e-6) / 127.0
+    q = jnp.round(xf / s[..., None, :]).astype(jnp.int8)
+    return q, s
+
+
 def init_slots(cfg: T2SConfig, n_slots: int, sx: int, sp: int, ring_len: int,
-               dtype=jnp.bfloat16) -> SlotState:
+               dtype=jnp.bfloat16, kv_int8: bool = False) -> SlotState:
     L, H, Dh, V = (cfg.num_layers, cfg.num_heads, cfg.head_dim,
                    cfg.semantic_vocab)
     S = sx + sp + ring_len
     B = n_slots
     z = jnp.zeros
+    cache_dtype = jnp.int8 if kv_int8 else dtype
     return SlotState(
-        k_cache=z((L, B, H, Dh, S), dtype), v_cache=z((L, B, H, Dh, S), dtype),
+        k_cache=z((L, B, H, Dh, S), cache_dtype),
+        v_cache=z((L, B, H, Dh, S), cache_dtype),
+        k_scale=z((L, B, H, S), jnp.float32) if kv_int8 else None,
+        v_scale=z((L, B, H, S), jnp.float32) if kv_int8 else None,
         cur_tok=z((B,), jnp.int32), keys_written=z((B,), jnp.int32),
         counts=z((B,), jnp.int32), done=jnp.ones((B,), bool),
         active=z((B,), bool), hist=z((B, V), jnp.int32),
@@ -149,6 +174,12 @@ def insert_slot(
     def set1(vec, val):
         return vec.at[b].set(jnp.reshape(val, ()))
 
+    k_scale, v_scale = state.k_scale, state.v_scale
+    if k_scale is not None:
+        ctx_k, ks = quantize_kv_columns(ctx_k)
+        ctx_v, vs = quantize_kv_columns(ctx_v)
+        k_scale = jax.lax.dynamic_update_slice(k_scale, ks, (0, b, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, vs, (0, b, 0, 0))
     k_cache = jax.lax.dynamic_update_slice(
         state.k_cache, ctx_k.astype(state.k_cache.dtype), (0, b, 0, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(
@@ -156,7 +187,7 @@ def insert_slot(
     hist_all = jax.lax.dynamic_update_slice_in_dim(
         state.hist, hist, b, axis=0)
     return state._replace(
-        k_cache=k_cache, v_cache=v_cache,
+        k_cache=k_cache, v_cache=v_cache, k_scale=k_scale, v_scale=v_scale,
         cur_tok=set1(state.cur_tok, tok0[0]),
         keys_written=set1(state.keys_written, 0),
         counts=set1(state.counts, 1),
@@ -192,6 +223,7 @@ def decode_segment(
     sp: int,
     ring_len: int,
     layer_unroll: int = 1,
+    kv_kernel: bool = False,
 ) -> Tuple[SlotState, jnp.ndarray]:
     """Advance every occupied slot ``seg_steps`` decode steps (one dispatch).
 
@@ -204,6 +236,13 @@ def decode_segment(
     assert ring_len % seg_steps == 0, "segment must not wrap the ring"
     W = seg_steps
     L, B, H, Dh, S = state.k_cache.shape
+    int8_kv = state.k_scale is not None
+    # in int8 mode the big caches are int8 codes; the in-segment write
+    # buffer stays in the compute dtype (the newest W columns — the most
+    # attention-relevant context — remain exact; only merged ring/ctx
+    # columns carry quantization error)
+    buf_dtype = (params["audio_embed"].dtype if int8_kv
+                 else state.k_cache.dtype)
     V = cfg.semantic_vocab
     Sx, Sp = sx, sp
     pe_full = t2s.sine_position_table(Sx + Sp + ring_len, cfg.embed_dim,
@@ -235,16 +274,28 @@ def decode_segment(
              )[:, None]
         buf_mask = jnp.arange(W) < i
 
+        # Pallas int8 path: the kernel recomputes visibility from the
+        # segment-frozen scalars (state.* — NOT the loop-carried counters,
+        # which advance per step while the big cache's visible set stays
+        # fixed until the merge)
+        ctx = ((state.x_len, state.p_len, state.keys_written, head0,
+                Sx, Sp, ring_len) if (int8_kv and kv_kernel) else None)
+
         def layer_body(h, inputs):
-            lp, kb, vb, kbuf, vbuf = inputs
+            if int8_kv:
+                lp, kb, vb, ks, vs, kbuf, vbuf = inputs
+            else:
+                (lp, kb, vb, kbuf, vbuf), ks, vs = inputs, None, None
             h, k_new, v_new = t2s._layer_decode_buffered(
-                lp, h, kb, vb, kbuf, vbuf, buf_mask, kv_mask, H)
+                lp, h, kb, vb, kbuf, vbuf, buf_mask, kv_mask, H,
+                k_scale=ks, v_scale=vs, kv_kernel_ctx=ctx)
             return h, (k_new, v_new)
 
+        xs = ((params["layers"], state.k_cache, state.v_cache,
+               state.k_scale, state.v_scale, k_buf, v_buf) if int8_kv else
+              (params["layers"], state.k_cache, state.v_cache, k_buf, v_buf))
         h, (k_cols, v_cols) = jax.lax.scan(
-            layer_body, h,
-            (params["layers"], state.k_cache, state.v_cache, k_buf, v_buf),
-            unroll=layer_unroll)
+            layer_body, h, xs, unroll=layer_unroll)
         k_buf = jax.lax.dynamic_update_slice_in_dim(
             k_buf, k_cols[..., None], i, axis=4)
         v_buf = jax.lax.dynamic_update_slice_in_dim(
@@ -275,8 +326,8 @@ def decode_segment(
         return (nxt, keys_written, counts, done, hist, seg_tokens,
                 k_buf, v_buf)
 
-    k_buf = jnp.zeros((L, B, H, Dh, W), state.k_cache.dtype)
-    v_buf = jnp.zeros((L, B, H, Dh, W), state.v_cache.dtype)
+    k_buf = jnp.zeros((L, B, H, Dh, W), buf_dtype)
+    v_buf = jnp.zeros((L, B, H, Dh, W), buf_dtype)
     seg_tokens0 = jnp.full((B, W), cfg.eos_id, jnp.int32)
     (cur_tok, keys_written, counts, done, hist, seg_tokens, k_buf, v_buf) = \
         jax.lax.fori_loop(
@@ -286,12 +337,19 @@ def decode_segment(
 
     # merge the segment's W columns at the (uniform) ring head
     base = Sx + Sp + head0
+    k_scale, v_scale = state.k_scale, state.v_scale
+    if int8_kv:
+        k_buf, ks = quantize_kv_columns(k_buf)
+        v_buf, vs = quantize_kv_columns(v_buf)
+        k_scale = jax.lax.dynamic_update_slice(k_scale, ks, (0, 0, 0, base))
+        v_scale = jax.lax.dynamic_update_slice(v_scale, vs, (0, 0, 0, base))
     k_cache = jax.lax.dynamic_update_slice(
         state.k_cache, k_buf, (0, 0, 0, 0, base))
     v_cache = jax.lax.dynamic_update_slice(
         state.v_cache, v_buf, (0, 0, 0, 0, base))
     state = state._replace(
-        k_cache=k_cache, v_cache=v_cache, cur_tok=cur_tok,
+        k_cache=k_cache, v_cache=v_cache, k_scale=k_scale, v_scale=v_scale,
+        cur_tok=cur_tok,
         keys_written=keys_written, counts=counts, done=done, hist=hist,
         ring_head=jnp.mod(head0 + W, ring_len),
     )

@@ -238,7 +238,8 @@ def _layer_decode(lp: Params, h: jnp.ndarray, k_cache, v_cache, pos, kv_mask,
 
 
 def _layer_decode_buffered(lp: Params, h: jnp.ndarray, k_big, v_big,
-                           k_buf, v_buf, buf_mask, kv_mask, num_heads: int):
+                           k_buf, v_buf, buf_mask, kv_mask, num_heads: int,
+                           k_scale=None, v_scale=None, kv_kernel_ctx=None):
     """One-token decode layer against a read-only big cache + write buffer.
 
     Per-step dynamic_update_slice into a lane column of the full cache is
@@ -249,6 +250,23 @@ def _layer_decode_buffered(lp: Params, h: jnp.ndarray, k_big, v_big,
     [big | buffer | self]. Returns (h, k_new [B,H,Dh], v_new [B,H,Dh]) —
     the caller stacks the new columns into the buffer once per step and
     merges buffers into the big cache once per W steps (amortized copy).
+
+    ``k_scale``/``v_scale`` [B,H,S]: per-column fp32 dequant scales when
+    the big caches hold int8 codes (models/slots.py kv_int8 mode). The
+    dequant never materializes bf16 caches in HBM: the K scale folds into
+    the fp32 scores after the int8-operand dot; the V scale multiplies
+    the dequantized V values inside the probs@V dot's operand fusion
+    (folding it into the probabilities instead measurably breaks that
+    fusion on v5e: +8 ms per 32-step segment at the 8x896 slot geometry).
+    HBM only ever streams the int8 bytes.
+
+    ``kv_kernel_ctx`` (TPU serving path): ``(x_len, p_len, keys_written,
+    ring_head, sx, sp, ring)`` — routes the big-cache attention through
+    the Pallas int8 kernel (ops/int8_decode.py), which recomputes the
+    visibility mask from these scalars and returns flash partials; the
+    exact bf16 buffer + self columns merge via one log-sum-exp step
+    (numerically identical to the monolithic softmax). On non-TPU
+    backends pass None: the pure-XLA dequant path below runs instead.
     """
     qkv = linear(lp["qkv"], h)
     q, k_new, v_new = jnp.split(qkv, 3, axis=-1)
@@ -256,8 +274,44 @@ def _layer_decode_buffered(lp: Params, h: jnp.ndarray, k_big, v_big,
     k_new = _split_heads(k_new, num_heads)[:, :, 0]   # [B,H,Dh]
     v_new = _split_heads(v_new, num_heads)[:, :, 0]
     scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    if k_scale is not None and kv_kernel_ctx is not None:
+        from ..ops.int8_decode import int8_big_attention
+
+        x_len, p_len, keys_written, ring_head, sx, sp, ring = kv_kernel_ctx
+        o1, m1, l1 = int8_big_attention(
+            q[:, :, 0], k_big, k_scale, v_big, v_scale,
+            x_len, p_len, keys_written, ring_head, sx=sx, sp=sp, ring=ring)
+        s_buf = jnp.einsum("bhqd,bhdw->bhqw", q, k_buf,
+                           preferred_element_type=jnp.float32) * scale
+        s_buf = jnp.where(buf_mask[None, None, None, :], s_buf,
+                          jnp.float32(-1e10))[:, :, 0]          # [B,H,W]
+        s_self = jnp.sum(q[:, :, 0].astype(jnp.float32)
+                         * k_new.astype(jnp.float32),
+                         axis=-1, keepdims=True) * scale         # [B,H,1]
+        s_rest = jnp.concatenate([s_buf, s_self], axis=-1)       # [B,H,W+1]
+        m_tot = jnp.maximum(m1, jnp.max(s_rest, axis=-1))        # [B,H]
+        a1 = jnp.exp(m1 - m_tot)
+        p_rest = jnp.exp(s_rest - m_tot[..., None])
+        l_tot = l1 * a1 + jnp.sum(p_rest, axis=-1)
+        W = s_buf.shape[-1]
+        att_f = (o1 * a1[..., None]
+                 + jnp.einsum("bhw,bhdw->bhd",
+                              p_rest[..., :W].astype(q.dtype),
+                              v_buf, preferred_element_type=jnp.float32)
+                 + p_rest[..., W:] * v_new.astype(jnp.float32))
+        att = (att_f / l_tot[..., None]).astype(q.dtype)[:, :, None]
+        h = layer_norm(lp["norm1"], h + linear(lp["out"], _merge_heads(att)))
+        ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
+        h = layer_norm(lp["norm2"], h + ff)
+        return h, k_new, v_new
+    if k_scale is not None:
+        k_big = k_big.astype(q.dtype)
+    if v_scale is not None:
+        v_big = v_big.astype(q.dtype) * v_scale[:, :, None, :].astype(q.dtype)
     s_big = jnp.einsum("bhqd,bhds->bhqs", q, k_big,
                        preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        s_big = s_big * k_scale[:, :, None, :]
     s_big = jnp.where(kv_mask[:, None, None, :], s_big, jnp.float32(-1e10))
     s_buf = jnp.einsum("bhqd,bhdw->bhqw", q, k_buf,
                        preferred_element_type=jnp.float32) * scale

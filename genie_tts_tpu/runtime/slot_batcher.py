@@ -44,35 +44,58 @@ logger = logging.getLogger(__name__)
 # covers every character the server will ever load.
 # ---------------------------------------------------------------------------
 
+def _strip_big(state):
+    """Zero the big-cache leaves so the 'small' state can be returned
+    undonated (scales exist only in int8-KV mode — None stays None)."""
+    return state._replace(
+        k_cache=0, v_cache=0,
+        k_scale=None if state.k_scale is None else 0,
+        v_scale=None if state.v_scale is None else 0)
+
+
+def _kv_kernel_enabled(cfg) -> bool:
+    """Route the int8-KV big-cache attention through the Pallas kernel
+    (ops/int8_decode.py). TPU-only: the XLA dequant fallback runs on CPU
+    (tests, virtual meshes). GENIE_KV_KERNEL=0 forces the XLA path."""
+    import os
+
+    if os.environ.get("GENIE_KV_KERNEL", "1").lower() in ("0", "false"):
+        return False
+    return cfg.slot_kv_int8 and jax.default_backend() != "cpu"
+
+
 @functools.partial(
-    jax.jit, donate_argnames=("kc", "vc"),
-    static_argnames=("tcfg", "W", "sx", "sp", "ring", "unroll"))
-def _seg_jit(params, kc, vc, small, key, *, tcfg, W, sx, sp, ring, unroll):
-    # Donation is split: ONLY the big KV caches donate (in-place reuse
-    # across dispatches). The small state leaves (done/counts/...) and
-    # seg_tokens must SURVIVE the next dispatch — the depth-1 pipelined
-    # loop fetches segment k's outputs after dispatching k+1.
-    state = small._replace(k_cache=kc, v_cache=vc)
+    jax.jit, donate_argnames=("kc", "vc", "ks", "vs"),
+    static_argnames=("tcfg", "W", "sx", "sp", "ring", "unroll", "kv_kernel"))
+def _seg_jit(params, kc, vc, ks, vs, small, key, *, tcfg, W, sx, sp, ring,
+             unroll, kv_kernel=False):
+    # Donation is split: ONLY the big KV caches (+ int8 scales) donate
+    # (in-place reuse across dispatches). The small state leaves
+    # (done/counts/...) and seg_tokens must SURVIVE the next dispatch —
+    # the depth-1 pipelined loop fetches segment k's outputs after
+    # dispatching k+1.
+    state = small._replace(k_cache=kc, v_cache=vc, k_scale=ks, v_scale=vs)
     state, seg_tok = slots_mod.decode_segment(
         state=state, params=params, key=key, cfg=tcfg, seg_steps=W,
-        sx=sx, sp=sp, ring_len=ring, layer_unroll=unroll)
-    return (state.k_cache, state.v_cache,
-            state._replace(k_cache=0, v_cache=0), seg_tok)
+        sx=sx, sp=sp, ring_len=ring, layer_unroll=unroll,
+        kv_kernel=kv_kernel)
+    return (state.k_cache, state.v_cache, state.k_scale, state.v_scale,
+            _strip_big(state), seg_tok)
 
 
-@functools.partial(jax.jit, donate_argnames=("kc", "vc"),
+@functools.partial(jax.jit, donate_argnames=("kc", "vc", "ks", "vs"),
                    static_argnames=("ring",))
-def _insert_jit(kc, vc, small, slot, ctx_k, ctx_v, tok0, hist,
+def _insert_jit(kc, vc, ks, vs, small, slot, ctx_k, ctx_v, tok0, hist,
                 x_len, p_len, mn, mx, samp, *, ring):
-    state = small._replace(k_cache=kc, v_cache=vc)
+    state = small._replace(k_cache=kc, v_cache=vc, k_scale=ks, v_scale=vs)
     # ring safety invariant: a row may never decode more tokens
     # than the ring holds (the merge would clobber its live keys)
     mx = jnp.minimum(mx, np.int32(ring))
     state = slots_mod.insert_slot(state, slot, ctx_k, ctx_v, tok0,
                                   hist, x_len, p_len,
                                   jnp.minimum(mn, mx), mx, samp)
-    return (state.k_cache, state.v_cache,
-            state._replace(k_cache=0, v_cache=0))
+    return (state.k_cache, state.v_cache, state.k_scale, state.v_scale,
+            _strip_big(state))
 
 
 @jax.jit
@@ -117,9 +140,10 @@ def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
     params = char.t2s_params
     state = jax.eval_shape(functools.partial(
         slots_mod.init_slots, tcfg, B, sx, sp, ring,
-        dtype=params["audio_embed"].dtype))
+        dtype=params["audio_embed"].dtype, kv_int8=cfg.slot_kv_int8))
     kc, vc = state.k_cache, state.v_cache
-    small = state._replace(k_cache=0, v_cache=0)
+    ks, vs = state.k_scale, state.v_scale
+    small = _strip_big(state)
     key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
 
     def sds(shape, dt):
@@ -143,12 +167,13 @@ def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
         functools.partial(slots_mod.prefill_join, cfg=tcfg),
         params, bert=None, **prefill_kw)
     units.append(lambda: _insert_jit.lower(
-        kc, vc, small, scalar, ctx_k, ctx_v, tok0, hist,
+        kc, vc, ks, vs, small, scalar, ctx_k, ctx_v, tok0, hist,
         scalar, scalar, scalar, scalar, samp0, ring=ring).compile())
     units.append(lambda: _release_jit.lower(small, scalar).compile())
     units.append(lambda: _seg_jit.lower(
-        params, kc, vc, small, key, tcfg=tcfg, W=W, sx=sx, sp=sp,
-        ring=ring, unroll=unroll).compile())
+        params, kc, vc, ks, vs, small, key, tcfg=tcfg, W=W, sx=sx, sp=sp,
+        ring=ring, unroll=unroll,
+        kv_kernel=_kv_kernel_enabled(cfg)).compile())
     units.extend(engine.finisher_warmup_units(
         char, t_buckets=(_slot_finisher_t_bucket(cfg),), pcm16=pcm16))
     return units
@@ -196,7 +221,8 @@ class SlotBatcher:
 
         self._decode_seg = functools.partial(
             _seg_jit, tcfg=tcfg, W=self.W, sx=self.sx, sp=self.sp,
-            ring=self.ring, unroll=self._unroll)
+            ring=self.ring, unroll=self._unroll,
+            kv_kernel=_kv_kernel_enabled(self.cfg))
         self._insert = functools.partial(_insert_jit, ring=self.ring)
         self._release = _release_jit
         self._prefill_join = functools.partial(_prefill_jit, cfg=tcfg)
@@ -364,8 +390,9 @@ class SlotBatcher:
             samp=samp)
         req.tok0_dev = tok0   # fetched at completion time — a blocking
         # tok0 round trip here would serialize every join with the loop
-        self._kc, self._vc, self._small = self._insert(
-            self._kc, self._vc, self._small, np.int32(b), ctx_k, ctx_v,
+        self._kc, self._vc, self._ks, self._vs, self._small = self._insert(
+            self._kc, self._vc, self._ks, self._vs, self._small,
+            np.int32(b), ctx_k, ctx_v,
             tok0, hist, np.int32(len(packed)),
             np.int32(len(ref.prompt_tokens)),
             np.int32(req.min_steps), np.int32(req.max_steps),
@@ -482,9 +509,11 @@ class SlotBatcher:
                     metrics.gauge("slot_occupancy", sum(
                         r is not None for r in self._slots))
                     with metrics.timer("slot_segment"):
-                        self._kc, self._vc, self._small, seg_tok = \
+                        (self._kc, self._vc, self._ks, self._vs,
+                         self._small, seg_tok) = \
                             self._decode_seg(self.char.t2s_params, self._kc,
-                                             self._vc, self._small, key)
+                                             self._vc, self._ks, self._vs,
+                                             self._small, key)
                     dispatched = (seg_tok, self._small.done,
                                   self._small.counts, list(self._slots))
                 else:
@@ -533,6 +562,8 @@ class SlotBatcher:
     def _reset_state(self) -> None:
         state0 = slots_mod.init_slots(
             self.char.t2s_cfg, self.n_slots, self.sx, self.sp, self.ring,
-            dtype=self.char.t2s_params["audio_embed"].dtype)
+            dtype=self.char.t2s_params["audio_embed"].dtype,
+            kv_int8=self.cfg.slot_kv_int8)
         self._kc, self._vc = state0.k_cache, state0.v_cache
-        self._small = state0._replace(k_cache=0, v_cache=0)
+        self._ks, self._vs = state0.k_scale, state0.v_scale
+        self._small = _strip_big(state0)

@@ -158,16 +158,17 @@ def synthesize_stream_segments(
         x_len=np.array([len(packed)], np.int32),
         prompts=ref.prompts_dev(sp),
         p_len=np.array([len(ref.prompt_tokens)], np.int32), samp=samp)
-    kc, vc, small = _insert_jit(
-        kc, vc, small, np.int32(0), ctx_k, ctx_v, tok0, hist,
+    # the solo stream machine keeps exact (bf16/fp32) KV — no int8 scales
+    kc, vc, _, _, small = _insert_jit(
+        kc, vc, None, None, small, np.int32(0), ctx_k, ctx_v, tok0, hist,
         np.int32(min(len(packed), sx)),
         np.int32(min(len(ref.prompt_tokens), sp)),
         np.int32(min_steps), np.int32(max_steps),
         SamplingRows(*(a[0] for a in samp)), ring=ring)
 
     # segment 1 + streaming head, all dispatched before any fetch
-    kc, vc, small1, seg1 = seg_fn(char.t2s_params, kc, vc, small,
-                                  jax.random.fold_in(key, 1))
+    kc, vc, _, _, small1, seg1 = seg_fn(char.t2s_params, kc, vc, None, None,
+                                        small, jax.random.fold_in(key, 1))
     head_cb = pick_bucket(W + 1, cfg.frame_buckets)
     first_window = 2 * (W + 1)
     head_audio, head_emit = _stream_head(
@@ -179,8 +180,9 @@ def synthesize_stream_segments(
     small = small1
     pending = None
     if 2 * W < ring:
-        kc, vc, small, seg2 = seg_fn(char.t2s_params, kc, vc, small1,
-                                     jax.random.fold_in(key, 2))
+        kc, vc, _, _, small, seg2 = seg_fn(
+            char.t2s_params, kc, vc, None, None, small1,
+            jax.random.fold_in(key, 2))
         pending = (seg2, small)
 
     audio_np, emit_np, tok0_np, seg1_np, done_np, counts_np = jax.device_get(
@@ -245,8 +247,8 @@ def synthesize_stream_segments(
         # dispatch segment k+1 before fetching segment k (depth-1
         # pipeline: the fetch overlaps the in-flight segment's compute)
         if (seg_idx + 1) * W <= ring:
-            kc, vc, small_next, seg_next = seg_fn(
-                char.t2s_params, kc, vc, small_now,
+            kc, vc, _, _, small_next, seg_next = seg_fn(
+                char.t2s_params, kc, vc, None, None, small_now,
                 jax.random.fold_in(key, seg_idx + 1))
             pending = (seg_next, small_next)
         seg_np, done_np, counts_np = jax.device_get(
@@ -303,11 +305,11 @@ def stream_warmup_units(engine: TTSEngine, char: CharacterModel,
         functools.partial(slots_mod.prefill_join, cfg=tcfg),
         params, bert=None, **prefill_kw)
     units.append(lambda: _insert_jit.lower(
-        kc, vc, small, scalar, ctx_k, ctx_v, tok0, hist,
+        kc, vc, None, None, small, scalar, ctx_k, ctx_v, tok0, hist,
         scalar, scalar, scalar, scalar, samp0, ring=ring).compile())
     units.append(lambda: _seg_jit.lower(
-        params, kc, vc, small, key, tcfg=tcfg, W=W, sx=sx, sp=sp,
-        ring=ring, unroll=unroll).compile())
+        params, kc, vc, None, None, small, key, tcfg=tcfg, W=W, sx=sx,
+        sp=sp, ring=ring, unroll=unroll).compile())
     head_cb = pick_bucket(W + 1, cfg.frame_buckets)
     for tb in cfg.phoneme_buckets:
         units.append(functools.partial(

@@ -75,8 +75,9 @@ def main():
     ctx_k, ctx_v, tok0, hist = do_prefill()
 
     def do_insert():
-        sb._kc, sb._vc, sb._small = sb._insert(
-            sb._kc, sb._vc, sb._small, np.int32(0), ctx_k, ctx_v, tok0,
+        sb._kc, sb._vc, sb._ks, sb._vs, sb._small = sb._insert(
+            sb._kc, sb._vc, sb._ks, sb._vs, sb._small,
+            np.int32(0), ctx_k, ctx_v, tok0,
             hist, np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
             np.int32(150), np.int32(206), samp1)
         return sb._small.done
@@ -90,14 +91,17 @@ def main():
         sb._reset_state()
         for b in range(occ):
             ck, cv, t0_, h_ = do_prefill()
-            sb._kc, sb._vc, sb._small = sb._insert(
-                sb._kc, sb._vc, sb._small, np.int32(b), ck, cv, t0_, h_,
+            sb._kc, sb._vc, sb._ks, sb._vs, sb._small = sb._insert(
+                sb._kc, sb._vc, sb._ks, sb._vs, sb._small,
+                np.int32(b), ck, cv, t0_, h_,
                 np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
                 np.int32(10_000), np.int32(sb.ring), samp1)  # never finish
 
         def do_seg():
-            sb._kc, sb._vc, sb._small, seg_tok = sb._decode_seg(
-                char.t2s_params, sb._kc, sb._vc, sb._small, key)
+            (sb._kc, sb._vc, sb._ks, sb._vs, sb._small,
+             seg_tok) = sb._decode_seg(
+                char.t2s_params, sb._kc, sb._vc, sb._ks, sb._vs,
+                sb._small, key)
             return seg_tok
 
         t_seg = timed(do_seg, n=8)

@@ -107,14 +107,17 @@ def stage_ring():
                 prompts=ref.prompts_dev(sb.sp),
                 p_len=np.array([len(ref.prompt_tokens)], np.int32),
                 samp=samp)
-            sb._kc, sb._vc, sb._small = sb._insert(
-                sb._kc, sb._vc, sb._small, np.int32(b), ck, cv, t0_, h_,
+            sb._kc, sb._vc, sb._ks, sb._vs, sb._small = sb._insert(
+                sb._kc, sb._vc, sb._ks, sb._vs, sb._small,
+                np.int32(b), ck, cv, t0_, h_,
                 np.int32(len(packed)), np.int32(len(ref.prompt_tokens)),
                 np.int32(10_000), np.int32(sb.ring), samp1)
 
         def do_seg():
-            sb._kc, sb._vc, sb._small, seg_tok = sb._decode_seg(
-                char.t2s_params, sb._kc, sb._vc, sb._small, key)
+            (sb._kc, sb._vc, sb._ks, sb._vs, sb._small,
+             seg_tok) = sb._decode_seg(
+                char.t2s_params, sb._kc, sb._vc, sb._ks, sb._vs,
+                sb._small, key)
             return seg_tok
 
         t = timed(do_seg)

@@ -318,6 +318,75 @@ def test_engine_e2e_deployment_path(fx, tmp_path):
     assert err < 2e-2, f"waveform deviates by {err}"
 
 
+def _slot_greedy_tokens(fx_, tparams, kv_int8):
+    """Greedy decode through the SLOT machine (models/slots.py) at the
+    d=512 fixture geometry, with exact or int8 KV caches."""
+    from genie_tts_tpu.models import slots
+    from genie_tts_tpu.ops.sampling import SamplingRows, rows_from_config
+    from genie_tts_tpu.runtime.buckets import pad_to
+
+    prompts = np.asarray(
+        t2s.extract_prompt_tokens(tparams, jnp.asarray(fx_["ssl"])))
+    phones = np.concatenate([fx_["ref_phones"], fx_["text_phones"]])
+    bert = np.concatenate([fx_["ref_bert"], fx_["text_bert"]])
+    SX_, SP_, W_ = 48, 32, 8
+    ring = -(-MAX_STEPS // W_) * W_
+    samp = rows_from_config(GREEDY, 1)
+    ctx_k, ctx_v, tok0, hist = slots.prefill_join(
+        tparams, TCFG, jax.random.PRNGKey(0),
+        jnp.asarray(pad_to(phones.astype(np.int32), SX_))[None],
+        jnp.asarray(pad_to(bert.astype(np.float32), SX_, axis=0))[None],
+        jnp.array([len(phones)]),
+        jnp.asarray(pad_to(prompts[0].astype(np.int32), SP_))[None],
+        jnp.array([prompts.shape[1]]), samp)
+    state = slots.init_slots(TCFG, 2, SX_, SP_, ring, dtype=jnp.float32,
+                             kv_int8=kv_int8)
+    state = slots.insert_slot(
+        state, jnp.int32(0), ctx_k, ctx_v, tok0, hist,
+        jnp.int32(len(phones)), jnp.int32(prompts.shape[1]),
+        jnp.int32(0), jnp.int32(MAX_STEPS),
+        SamplingRows(*(a[0] for a in samp)))
+    got = [int(tok0[0])]
+    for seg in range(ring // W_):
+        state, seg_tok = slots.decode_segment(
+            tparams, state, jax.random.PRNGKey(100 + seg), TCFG,
+            W_, SX_, SP_, ring)
+        got.extend(np.asarray(seg_tok)[0])
+        if bool(np.asarray(state.done)[0]):
+            break
+    count = int(np.asarray(state.counts)[0])
+    toks = np.array(got[:count])
+    return t2s.finalize_semantic_tokens(
+        toks[None], np.array([count]), TCFG.eos_id)[0]
+
+
+def test_slot_kv_int8_quality(fx):
+    """Quality gate for the int8 slot KV cache at d=512 geometry.
+
+    ``RuntimeConfig.slot_kv_int8`` stores the slot machine's merged K/V
+    columns as int8 codes + per-column fp32 scales (half the per-step HBM
+    stream). Gate: greedy token streams through the slot machine with
+    int8 KV vs exact fp32 KV on the GPT-SoVITS-shaped d=512 fixture must
+    agree >= 0.95 positionally with emitted length within 20%. The exact
+    slot stream itself must equal t2s.generate's (the existing strict
+    slot-parity contract, re-checked here at d=512).
+
+    Flip-to-off criterion: if the bound fails on a real converted
+    checkpoint, serve with GENIE_SLOT_KV_INT8=0 (documented in config.py).
+    """
+    ref_toks, _ = _jax_greedy_tokens(fx, fx["tparams"])
+    exact_toks = _slot_greedy_tokens(fx, fx["tparams"], kv_int8=False)
+    np.testing.assert_array_equal(exact_toks, ref_toks)
+
+    q_toks = _slot_greedy_tokens(fx, fx["tparams"], kv_int8=True)
+    n = min(len(q_toks), len(exact_toks))
+    assert n > 8, "degenerate decode; reseed the fixture"
+    agree = float(np.mean(q_toks[:n] == exact_toks[:n]))
+    assert agree >= 0.95, f"kv-int8 greedy agreement {agree:.3f} < 0.95"
+    assert abs(len(q_toks) - len(exact_toks)) <= 0.2 * len(exact_toks), (
+        f"kv-int8 emitted {len(q_toks)} tokens vs exact {len(exact_toks)}")
+
+
 def test_int8_serving_default_quality(fx):
     """Quality gate for the int8 serving default at d=512 geometry.
 

@@ -169,6 +169,71 @@ def test_slot_ring_reuse_after_release(params):
     np.testing.assert_array_equal(np.array(got[:c]), exp)
 
 
+def test_quantize_kv_columns_roundtrip_bound():
+    """Per-column int8 KV quantization: |x - q*s| <= s/2 elementwise."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 2, 4, 8, 16)) * 2.0, jnp.float32)
+    q, s = slots.quantize_kv_columns(x)
+    assert q.dtype == jnp.int8 and s.shape == (3, 2, 4, 16)
+    err = np.abs(np.asarray(x) - np.asarray(q, np.float32)
+                 * np.asarray(s)[..., None, :])
+    assert np.all(err <= np.asarray(s)[..., None, :] * 0.5 + 1e-7)
+    # columns whose max is +/-127 grid units reconstruct (near-)exactly:
+    # the scale then lands on the grid pitch itself
+    grid = np.asarray(rng.integers(-126, 127, (1, 1, 2, 8, 4)), np.float32)
+    grid[..., 0, :] = 127.0
+    q2, s2 = slots.quantize_kv_columns(jnp.asarray(grid * 0.031))
+    np.testing.assert_allclose(
+        np.asarray(q2, np.float32) * np.asarray(s2)[..., None, :],
+        grid * 0.031, rtol=1e-4, atol=1e-6)
+
+
+def test_slot_kv_int8_machinery(params):
+    """int8-KV slot machine: int8 caches + scales, sane greedy decode.
+
+    Numerical quality at serving geometry is gated by
+    tests/test_e2e_parity.py::test_slot_kv_int8_quality (d=512); this
+    checks the tiny-model machinery — dtypes, scale updates on insert and
+    merge, and that the decode still terminates with a plausible stream.
+    """
+    ids = np.array([3, 5, 7, 2, 11], np.int32)
+    prm = np.array([4, 5, 6], np.int32)
+    steps = 24
+    exact = _solo_greedy(
+        params, jnp.asarray(_pad_row(ids, SX))[None], jnp.array([5]),
+        jnp.asarray(_pad_row(prm, SP))[None], jnp.array([3]), steps)
+
+    state = slots.init_slots(CFG, 4, SX, SP, RING, dtype=jnp.float32,
+                             kv_int8=True)
+    assert state.k_cache.dtype == jnp.int8
+    assert state.k_scale.shape == (CFG.num_layers, 4, CFG.num_heads,
+                                   SX + SP + RING)
+    state, tok0 = _join(params, state, 0,
+                        jnp.asarray(_pad_row(ids, SX))[None], jnp.array([5]),
+                        jnp.asarray(_pad_row(prm, SP))[None], jnp.array([3]),
+                        steps, steps)
+    # insert quantized the context columns: scales nonzero where written
+    ks = np.asarray(state.k_scale)
+    assert np.all(ks[:, 0, :, :5] > 0)
+    assert np.all(ks[:, 1] == 0)          # untouched slot
+    got = [tok0]
+    for seg in range(RING // W):
+        state, seg_tok = slots.decode_segment(
+            params, state, jax.random.PRNGKey(100 + seg), CFG,
+            W, SX, SP, RING)
+        got.extend(np.asarray(seg_tok)[0])
+        if bool(np.asarray(state.done)[0]):
+            break
+    assert state.k_cache.dtype == jnp.int8
+    count = int(np.asarray(state.counts)[0])
+    assert count == len(exact)            # min_steps pins the length here
+    # tiny random models are the quantization worst case (no logit
+    # margins); require agreement only on the early stream
+    n = min(8, count)
+    agree = float(np.mean(np.array(got[:n]) == exact[:n]))
+    assert agree >= 0.5, f"early-stream agreement {agree}"
+
+
 def test_slot_batcher_end_to_end():
     """Scheduler: concurrent requests through SlotBatcher produce audio."""
     import threading
