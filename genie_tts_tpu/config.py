@@ -172,6 +172,25 @@ class RuntimeConfig:
     # machine flushes immediately so solo latency is unaffected.
     slot_finisher_batch: int = 4
     slot_finisher_wait_segs: int = 2
+    # Streaming window finisher (OPT-IN): instead of vocoding each
+    # utterance whole at completion, every chunk's worth of decoded codes
+    # vocodes DURING decode as one batch across all in-flight rows
+    # (window pump), and completion vocodes only the final partial
+    # window. Audio becomes the prefix-latent approximation the solo
+    # streaming path already serves (stream.py), and pieces become
+    # available incrementally (the building block for streaming
+    # slot-served responses).
+    #
+    # DEFAULT OFF: measured on v5e (bench.py slots6 stage, 6 clients),
+    # the whole-utterance finisher serves 9.85 utt/s @ p50 606 ms vs
+    # 8.82 @ 663 for the window pump — the batched-window HiFi-GAN gain
+    # (7.9 ms/utt-window at B=8 vs 13.9 at B=4) is eaten by solo
+    # completion remainders and per-pump latent recomputes at this
+    # concurrency. Machinery + quality guards are fully tested
+    # (tests/test_slot_windows.py); GENIE_SLOT_WINDOWS=1 opts in.
+    slot_stream_finisher: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_SLOT_WINDOWS", "0").lower() in ("1", "true", "on"))
     # int8 KV cache for the slot machine: the big K/V caches hold int8
     # codes + per-column fp32 scales (models/slots.py::quantize_kv_columns)
     # so each decode step streams HALF the cache bytes (the dominant HBM

@@ -409,10 +409,71 @@ def synthesize_latent(
     return z * y_mask_t
 
 
+def synthesize_latent_rows(
+    params: Params,
+    cfg: SoVITSConfig,
+    keys: jax.Array,           # [B, 2] uint32 — one PRNG key PER ROW
+    codes: jnp.ndarray,
+    codes_len: jnp.ndarray,
+    text_ids: jnp.ndarray,
+    text_len: jnp.ndarray,
+    ge: jnp.ndarray,
+    ge_mrte: jnp.ndarray,
+    noise_scale: float = 0.5,
+    noise_frames: int = 0,
+) -> jnp.ndarray:
+    """:func:`synthesize_latent` with PER-ROW flow-noise keys.
+
+    Incremental window vocoding (the slot batcher's streaming finisher)
+    recomputes a request's prefix latent as its decode grows, in batches
+    whose composition changes between pumps. With a single batch key the
+    noise at a given (row, position) depends on the row's index and the
+    padded length, so windows of one utterance vocoded in different pumps
+    would see DIFFERENT noise realizations — audible seams at window
+    joins. Per-row keys + a FIXED generation size make the noise a pure
+    function of (request key, position). JAX's counter-based threefry is
+    row-major prefix-stable across array growth (verified in
+    tests/test_slot_windows.py), so per-row keys alone suffice;
+    ``noise_frames`` additionally pins the generated size and slices the
+    prefix — a guard if a future PRNG implementation loses that property
+    (set it to the deployment's max frame bucket).
+    """
+    latent = quantizer_decode(params, codes)
+    B, T50, _ = latent.shape
+    y_mask_t = (jnp.arange(T50)[None, :] < 2 * codes_len[:, None]).astype(latent.dtype)[..., None]
+    text_mask_t = (jnp.arange(text_ids.shape[1])[None, :] < text_len[:, None]).astype(latent.dtype)[..., None]
+
+    m, logs = text_encode(params, cfg, latent, y_mask_t, text_ids,
+                          text_mask_t, ge_mrte)
+    nf = max(noise_frames, T50)
+    noise = jax.vmap(
+        lambda k: jax.random.normal(
+            k, (nf,) + m.shape[2:], dtype=jnp.float32)[:T50])(keys)
+    z_p = (m.astype(jnp.float32) + noise * jnp.exp(logs.astype(jnp.float32)) * noise_scale).astype(latent.dtype)
+    z = flow_reverse(params["flow"], z_p * y_mask_t, y_mask_t, ge, cfg)
+    return z * y_mask_t
+
+
 def vocode_frames(params: Params, cfg: SoVITSConfig, z: jnp.ndarray,
                   ge: jnp.ndarray, frames_valid: jnp.ndarray) -> jnp.ndarray:
     """HiFi-GAN over a latent window. z [B, Tc, 192] -> [B, Tc*hop]."""
     return hifigan(params["dec"], z, ge, cfg, frames_len=frames_valid)
+
+
+def vocode_window_rows(params: Params, cfg: SoVITSConfig, z: jnp.ndarray,
+                       ge: jnp.ndarray, starts: jnp.ndarray,
+                       frames_valid: jnp.ndarray, win: int) -> jnp.ndarray:
+    """HiFi-GAN over a PER-ROW window of the latent.
+
+    z [B, F, 192]; starts [B] (window start frame per row, pre-clamped to
+    F - win); frames_valid [B] (total valid frames per row). Returns
+    [B, win*hop]. Rows at different emit positions vocode as one batch —
+    the slot batcher's window pump."""
+    zw = jax.vmap(
+        lambda zr, s: jax.lax.dynamic_slice(zr, (s, 0), (win, zr.shape[1])))(
+            z, starts)
+    valid = jnp.clip(frames_valid - starts, 0, win)
+    return hifigan(params["dec"], zw, ge, cfg, frames_len=valid)
 
 
 def vocode_frames_chunked(params: Params, cfg: SoVITSConfig, z: jnp.ndarray,

@@ -268,6 +268,21 @@ class TTSEngine:
         # is TRANSFER-bound, not compute-bound; latent 4 ms + HiFi-GAN
         # 23 ms vs ~35 ms/MB of fetch)
         self._vocode_pcm = jax.jit(_vocode_pcm16, static_argnames=("cfg",))
+        # window-pump stages (slot streaming finisher): per-row noise keys
+        # + per-row window starts so rows at different emit positions
+        # vocode as one batch
+        self._latent_rows = jax.jit(
+            sovits.synthesize_latent_rows,
+            static_argnames=("cfg", "noise_frames"))
+
+        def _vocode_window_rows16(params, cfg, z, ge, starts, fv, win,
+                                  pcm16):
+            a = sovits.vocode_window_rows(params, cfg, z, ge, starts, fv,
+                                          win)
+            return _to_pcm16(a) if pcm16 else a.astype(jnp.float32)
+
+        self._vocode_window_rows = jax.jit(
+            _vocode_window_rows16, static_argnames=("cfg", "win", "pcm16"))
         self._ref_embed = jax.jit(
             sovits.reference_embedding, static_argnames=("cfg",))
         self._fused = jax.jit(
@@ -621,6 +636,67 @@ class TTSEngine:
         if audio.dtype != np.int16:
             audio = audio.astype(np.float32)
         return [audio[i, : 2 * int(lens[i]) * hop] for i in range(len(lens))]
+
+    def vocode_windows_dispatch(self, char: CharacterModel, rows,
+                                win: int, pcm16: bool = False,
+                                noise_scale: float = 0.5,
+                                b_buckets=None, t_buckets=None):
+        """Async per-row WINDOW vocode (the slot batcher's window pump).
+
+        ``rows``: list of ``(ref, text_phones, codes_np, count, key,
+        start_frame, out_frames)`` — vocode ``out_frames`` of row audio
+        beginning at latent frame ``start_frame`` from the row's prefix
+        latent over ``codes_np[:count]``. ``key`` is the request's
+        PER-ROW flow-noise key (prefix-stable across pumps; see
+        sovits.synthesize_latent_rows). Rows at different emit positions
+        batch into ONE latent + ONE window dispatch; fetch the handle
+        with :meth:`vocode_windows_fetch`.
+        """
+        vcfg = char.sovits_cfg
+        B = len(rows)
+        halo = self.cfg.vocode_halo
+        B_pad = max(pick_bucket(B, b_buckets or self.cfg.batch_buckets), B)
+        rows = list(rows) + [rows[0]] * (B_pad - B)
+        lens = np.array([r[3] for r in rows], np.int32)
+        # fb >= win/2 so the window slice always fits the latent grid
+        fb = pick_bucket(max(int(lens.max()), -(-win // 2)),
+                         self.cfg.frame_buckets)
+        lens = np.minimum(lens, fb)
+        codes_b = np.stack([pad_to(np.clip(c[:fb], 0, vcfg.vq_codes - 1)
+                                   .astype(np.int32), fb)
+                            for (_, _, c, *_rest) in rows])
+        t_lens = np.array([len(tp) for (_, tp, *_r) in rows], np.int32)
+        t_bucket = pick_bucket(int(t_lens.max()),
+                               t_buckets or self.cfg.phoneme_buckets)
+        t_lens = np.minimum(t_lens, t_bucket)
+        text_b = np.stack([pad_to(tp.astype(np.int32), t_bucket)
+                           for (_, tp, *_r) in rows])
+        ge_b = jnp.concatenate([r[0].ge_dev for r in rows], axis=0)
+        gm_b = jnp.concatenate([r[0].ge_mrte_dev for r in rows], axis=0)
+        keys_b = jnp.stack([jnp.asarray(r[4]) for r in rows])
+        z = self._latent_rows(
+            char.sovits_params, vcfg, keys_b, codes_b, lens, text_b,
+            t_lens, ge_b, gm_b, noise_scale)
+        F = 2 * fb
+        win = min(win, F)   # tiny ladders: window covers the whole grid
+        starts = np.array([r[5] for r in rows], np.int32)
+        s0 = np.clip(starts - halo, 0, F - win).astype(np.int32)
+        fv = 2 * lens
+        audio = self._vocode_window_rows(
+            char.sovits_params, vcfg, z, ge_b, jnp.asarray(s0),
+            jnp.asarray(fv), win=win, pcm16=pcm16)
+        hop = vcfg.hop_length
+        offs = (starts - s0) * hop
+        widths = np.array([r[6] for r in rows], np.int32) * hop
+        return (audio, offs, widths, B)
+
+    @staticmethod
+    def vocode_windows_fetch(handle) -> "list[np.ndarray]":
+        """Blocking half of the window pump (worker-thread safe: fetch
+        only, no jit dispatch)."""
+        audio, offs, widths, B = handle
+        a = jax.device_get(audio)
+        return [a[i, offs[i]: offs[i] + widths[i]] for i in range(B)]
 
     def _vocode_dispatch(self, char: CharacterModel, z, ge, codes_len,
                          pcm16: bool = False):
@@ -1129,6 +1205,43 @@ class TTSEngine:
                     char.sovits_params, vcfg,
                     jnp.zeros((b, w, vcfg.inter_channels), jnp.float32),
                     ge, lens))
+        return units
+
+    def window_warmup_units(self, char: CharacterModel, wins,
+                            t_bucket: int, pcm16: bool = False) -> list:
+        """AOT thunks for the slot window pump
+        (:meth:`vocode_windows_dispatch`): per-row-key prefix latents at
+        every (batch, frame>=win/2) bucket plus the fixed-width window
+        vocode at every batch bucket."""
+        vcfg = char.sovits_cfg
+        zdt = char.sovits_params["quantizer_embed"].dtype
+        units = []
+        keyp = jax.random.PRNGKey(0)
+        for b in self.cfg.batch_buckets:
+            keys = jnp.stack([keyp] * b)
+            lens = jnp.ones((b,), jnp.int32)
+            ge = jnp.zeros((b, vcfg.gin_channels, 1), jnp.float32)
+            gm = jnp.zeros((b, vcfg.mrte_channels, 1), jnp.float32)
+            for fb in self.cfg.frame_buckets:
+                if 2 * fb < min(wins):
+                    continue
+                units.append(functools.partial(
+                    lambda *a: self._latent_rows.lower(*a).compile(),
+                    char.sovits_params, vcfg, keys,
+                    jnp.zeros((b, fb), jnp.int32), lens,
+                    jnp.zeros((b, t_bucket), jnp.int32), lens, ge, gm, 0.5))
+                for win in wins:
+                    if 2 * fb < win:
+                        continue
+                    units.append(functools.partial(
+                        lambda b_, fb_, ge_, w_:
+                        self._vocode_window_rows.lower(
+                            char.sovits_params, vcfg,
+                            jax.ShapeDtypeStruct((b_, 2 * fb_,
+                                                  vcfg.inter_channels), zdt),
+                            ge_, jax.ShapeDtypeStruct((b_,), jnp.int32),
+                            jax.ShapeDtypeStruct((b_,), jnp.int32),
+                            win=w_, pcm16=pcm16).compile(), b, fb, ge, win))
         return units
 
 

@@ -174,8 +174,14 @@ def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
         params, kc, vc, ks, vs, small, key, tcfg=tcfg, W=W, sx=sx, sp=sp,
         ring=ring, unroll=unroll,
         kv_kernel=_kv_kernel_enabled(cfg)).compile())
-    units.extend(engine.finisher_warmup_units(
-        char, t_buckets=(_slot_finisher_t_bucket(cfg),), pcm16=pcm16))
+    if cfg.slot_stream_finisher:
+        units.extend(engine.window_warmup_units(
+            char, wins=(cfg.vocode_chunk + 2 * cfg.vocode_halo,
+                        cfg.vocode_chunk // 2 + 2 * cfg.vocode_halo),
+            t_bucket=_slot_finisher_t_bucket(cfg), pcm16=pcm16))
+    else:
+        units.extend(engine.finisher_warmup_units(
+            char, t_buckets=(_slot_finisher_t_bucket(cfg),), pcm16=pcm16))
     return units
 
 
@@ -195,6 +201,13 @@ class _Request:
     seg_tokens: List[np.ndarray] = field(default_factory=list)
     harvested: bool = False
     cancelled: bool = False   # waiter gave up (timeout): drop, don't decode
+    # window-pump state (cfg.slot_stream_finisher)
+    klat: object = None       # per-request flow-noise key (prefix-stable)
+    tok0_np: Optional[int] = None
+    count_seen: int = 0       # tokens confirmed by the last fetched segment
+    emitted: int = 0          # latent frames already dispatched to vocode
+    pieces: dict = field(default_factory=dict)   # start_frame -> pcm piece
+    final_codes: Optional[np.ndarray] = None
 
 
 class SlotBatcher:
@@ -227,6 +240,17 @@ class SlotBatcher:
         self._release = _release_jit
         self._prefill_join = functools.partial(_prefill_jit, cfg=tcfg)
 
+        # streaming window finisher (cfg.slot_stream_finisher): vocode one
+        # vocode_chunk window per in-flight row every pump_every segments,
+        # batched across rows; completion vocodes only the remainder
+        self.windows = self.cfg.slot_stream_finisher
+        self.chunk = self.cfg.vocode_chunk
+        self.halo = self.cfg.vocode_halo
+        self.win = self.chunk + 2 * self.halo
+        self.win_small = self.chunk // 2 + 2 * self.halo
+        self.lookahead = self.cfg.stream_lookahead
+        self.pump_every = max(1, (self.chunk // 2) // self.W)
+
         self._reset_state()
         self._slots: List[Optional[_Request]] = [None] * self.n_slots
         self._q: "queue.Queue[_Request]" = queue.Queue()
@@ -234,8 +258,12 @@ class SlotBatcher:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
-        self._vocoder = ThreadPoolExecutor(max_workers=2,
-                                           thread_name_prefix="slot-vocode")
+        # windows mode pins ONE fetch worker: piece fetches and the final
+        # assembly then execute in submission order, so a completion never
+        # reads a window piece that is still in flight
+        self._vocoder = ThreadPoolExecutor(
+            max_workers=1 if self.windows else 2,
+            thread_name_prefix="slot-vocode")
         # finished rows awaiting the batched finisher vocode. Vocoding each
         # segment's finishers alone runs at B=1-2 (~108 ms/utt measured on
         # v5e vs 43 ms/utt at B=8) and was the dominant serving cost; rows
@@ -285,20 +313,29 @@ class SlotBatcher:
         max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
                         self.ring)
         n = 0
-        # finisher groups mix arbitrary lengths: warm the frame bucket of
-        # the cap AND the half-cap (the two buckets real traffic lands in)
-        for length in {max(max_steps, 1), max(max_steps // 2, 1)}:
-            codes = np.zeros(length, np.int32)
-            for b in self.cfg.batch_buckets:
-                # warm THROUGH the first bucket >= n_slots — that is the
-                # bucket pick_bucket pads full finisher groups to
-                self.engine.vocode_codes_batch(
-                    self.char, [(ref, text_phones, codes)]
-                    * min(b, self.n_slots), t_buckets=self._t_buckets,
-                    pcm16=self.pcm16)
-                n += 1
-                if b >= self.n_slots:
-                    break
+        if self.windows:
+            # window pump + remainder graphs at every (batch, frame>=win/2,
+            # window) bucket — AOT lower+compile on a thread pool (serial
+            # eager warmup measured 430 s on v5e; compiles release the GIL)
+            n = self.engine._run_compile_units(
+                self.engine.window_warmup_units(
+                    self.char, wins=(self.win, self.win_small),
+                    t_bucket=self._t_buckets[0], pcm16=self.pcm16))
+        else:
+            # finisher groups mix arbitrary lengths: warm the frame bucket
+            # of the cap AND the half-cap (the buckets real traffic lands in)
+            for length in {max(max_steps, 1), max(max_steps // 2, 1)}:
+                codes = np.zeros(length, np.int32)
+                for b in self.cfg.batch_buckets:
+                    # warm THROUGH the first bucket >= n_slots — that is the
+                    # bucket pick_bucket pads full finisher groups to
+                    self.engine.vocode_codes_batch(
+                        self.char, [(ref, text_phones, codes)]
+                        * min(b, self.n_slots), t_buckets=self._t_buckets,
+                        pcm16=self.pcm16)
+                    n += 1
+                    if b >= self.n_slots:
+                        break
         bert = np.zeros((len(text_phones), self.char.t2s_cfg.bert_dim),
                         np.float32)
         self.synthesize(ref, text_phones, bert, timeout=600,
@@ -380,6 +417,11 @@ class SlotBatcher:
         # a plain PRNGKey(counter*K+b) collides with PRNGKey(seg) streams
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(self._seg_counter), 1), b)
+        # per-request flow-noise key: window pumps recompute the prefix
+        # latent across pumps/batches — noise must be a pure function of
+        # (request, position) (sovits.synthesize_latent_rows)
+        req.klat = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self._seg_counter), 2), b)
         samp = rows_from_config(req.sampling or SamplingConfig(), 1)
         ctx_k, ctx_v, tok0, hist = self._prefill_join(
             self.char.t2s_params, key=key,
@@ -412,12 +454,131 @@ class SlotBatcher:
             if req is None or req.harvested:
                 continue
             req.seg_tokens.append(seg_tok[b])
+            req.count_seen = int(counts[b])
             if done[b]:
                 req.harvested = True
                 if self._slots[b] is req:
                     self._slots[b] = None
                 self._small = self._release(self._small, np.int32(b))
                 self._finish_pending.append([req, int(counts[b]), 0])
+
+    # -- window pump (cfg.slot_stream_finisher) ----------------------------
+
+    def _codes_so_far(self, req: _Request, count: int) -> np.ndarray:
+        return np.concatenate([[req.tok0_np]] + req.seg_tokens)[:count]
+
+    def _fetch_tok0(self, reqs) -> None:
+        missing = [r for r in reqs if r.tok0_np is None]
+        if missing:
+            for r, arr in zip(missing,
+                              jax.device_get([r.tok0_dev for r in missing])):
+                r.tok0_np = int(arr[0])
+
+    def _win_for(self, jobs) -> int:
+        """Smallest static window covering every job's width (completion
+        remainders are usually << chunk; vocoding them in the full pump
+        window would double their HiFi-GAN cost)."""
+        need = max(width for *_x, width in jobs) + 2 * self.halo
+        for w in (self.win_small, self.win):
+            if need <= w:
+                return w
+        return self.win
+
+    def _dispatch_windows(self, jobs) -> None:
+        """One batched latent + window vocode for ``jobs`` = [(req, codes,
+        count, start, width_frames)]. Dispatch here on the scheduler
+        thread (may compile); the piece fetch runs on the (single) worker."""
+        rows = [(req.ref, req.phones, codes, count, req.klat, start, width)
+                for req, codes, count, start, width in jobs]
+        with metrics.timer("slot_window_vocode"):
+            handle = self.engine.vocode_windows_dispatch(
+                self.char, rows, win=self._win_for(jobs), pcm16=self.pcm16,
+                t_buckets=self._t_buckets)
+        metrics.gauge("slot_window_rows", len(jobs))
+        for req, _, _, start, width in jobs:
+            req.emitted = start + width
+        meta = [(req, start) for req, _, _, start, _ in jobs]
+
+        def fetch(meta=meta, handle=handle):
+            try:
+                for (req, start), piece in zip(
+                        meta, TTSEngine.vocode_windows_fetch(handle)):
+                    req.pieces[start] = piece
+            except BaseException as e:  # noqa: BLE001 — surface at completion
+                logger.exception("window fetch failed")
+                for req, _ in meta:
+                    req.error = e
+                    req.done.set()
+
+        self._vocoder.submit(fetch)
+
+    def _pump_windows(self) -> None:
+        """Vocode one chunk for every in-flight row whose decoded frontier
+        (lookahead-guarded) is a full chunk past what it has emitted."""
+        jobs = []
+        for req in self._slots:
+            if req is None or req.harvested or req.cancelled:
+                continue
+            frontier = 2 * max(req.count_seen - self.lookahead, 0)
+            if frontier - req.emitted >= self.chunk:
+                jobs.append(req)
+        if not jobs:
+            return
+        self._fetch_tok0(jobs)
+        self._dispatch_windows([
+            (req, self._codes_so_far(req, req.count_seen), req.count_seen,
+             req.emitted, self.chunk) for req in jobs])
+
+    def _flush_finishers_windows(self, pend) -> None:
+        """Windows-mode completion: vocode only the REMAINDER of each
+        finished row (the pump already emitted everything up to the
+        lookahead-guarded frontier), then assemble in piece order."""
+        reqs = [r for r, _, _ in pend]
+        try:
+            self._fetch_tok0(reqs)
+            for req, count, _ in pend:
+                toks = self._codes_so_far(req, count)
+                req.final_codes = finalize_semantic_tokens(
+                    toks[None], np.array([count]),
+                    self.char.t2s_cfg.eos_id)[0]
+            while True:
+                jobs = []
+                for req in reqs:
+                    total = 2 * len(req.final_codes)
+                    if req.emitted < total:
+                        jobs.append((req, req.final_codes,
+                                     len(req.final_codes), req.emitted,
+                                     min(self.chunk, total - req.emitted)))
+                if not jobs:
+                    break
+                self._dispatch_windows(jobs)
+        except BaseException as e:  # noqa: BLE001 — surface to the waiters
+            logger.exception("window completion dispatch failed")
+            for req in reqs:
+                req.error = e
+                req.done.set()
+            return
+
+        def assemble(reqs=reqs):
+            for req in reqs:
+                if req.done.is_set():
+                    continue
+                try:
+                    total = 2 * len(req.final_codes) * \
+                        self.char.sovits_cfg.hop_length
+                    parts = [req.pieces[k] for k in sorted(req.pieces)]
+                    dtype = np.int16 if self.pcm16 else np.float32
+                    audio = (np.concatenate(parts) if parts
+                             else np.zeros(0, dtype))
+                    req.result = audio[:total]
+                    metrics.incr("slot_utterances")
+                except BaseException as e:  # noqa: BLE001
+                    logger.exception("window assembly failed")
+                    req.error = e
+                finally:
+                    req.done.set()
+
+        self._vocoder.submit(assemble)
 
     def _flush_finishers_maybe(self, force: bool = False) -> None:
         """Dispatch the pooled finisher vocode when the batch is worth it.
@@ -436,23 +597,31 @@ class SlotBatcher:
         if not pend:
             return
         oldest = max(e[2] for e in pend)
-        if not (force or len(pend) >= self.cfg.slot_finisher_batch
+        # windows mode: the pump already emitted everything but the final
+        # partial window (~20 ms at B=1) — pooling buys little batched
+        # vocode but costs up to wait_segs segments of completion latency
+        # AND keeps the slot's client from re-submitting (occupancy)
+        if not self.windows and not (
+                force or len(pend) >= self.cfg.slot_finisher_batch
                 or oldest >= self.cfg.slot_finisher_wait_segs):
             return
         self._finish_pending = []
         metrics.gauge("slot_finisher_rows", len(pend))
+        if self.windows:
+            self._flush_finishers_windows(pend)
+            return
         # pooled rows vocode as ONE batch. The DISPATCH half (which may
         # compile) runs here on the scheduler thread — XLA:CPU segfaults
         # when a compile races other threads' compute; workers only fetch
         # device buffers.
         reqs = [r for r, _, _ in pend]
         try:
-            # one RPC for every first token (device_get batches buffers)
-            toks0 = jax.device_get([r.tok0_dev for r in reqs])
+            # first tokens usually arrived piggybacked on a segment fetch
+            # (tok0_np); one batched RPC covers any that did not
+            self._fetch_tok0(reqs)
             items = []
-            for (req, count, _), tok0_arr in zip(pend, toks0):
-                tok0 = int(tok0_arr[0])
-                toks = np.concatenate([[tok0]] + req.seg_tokens)[:count]
+            for req, count, _ in pend:
+                toks = self._codes_so_far(req, count)
                 codes = finalize_semantic_tokens(
                     toks[None], np.array([count]),
                     self.char.t2s_cfg.eos_id)[0]
@@ -520,12 +689,25 @@ class SlotBatcher:
                     dispatched = None
                 if pending is not None:
                     seg_tok, done, counts, occupants = pending
+                    # piggyback first-token fetches on the segment RPC:
+                    # the pump/completion paths need tok0 on host, and a
+                    # separate device_get would stall the scheduler a
+                    # full tunnel round trip
+                    tok0_rows = [r for r in occupants
+                                 if r is not None and r.tok0_np is None
+                                 and r.tok0_dev is not None]
                     with metrics.timer("slot_fetch"):
-                        tok_np, done_np, counts_np = jax.device_get(
-                            (seg_tok, done, counts))
+                        tok_np, done_np, counts_np, *toks0 = jax.device_get(
+                            (seg_tok, done, counts,
+                             *[r.tok0_dev for r in tok0_rows]))
+                    for r, arr in zip(tok0_rows, toks0):
+                        r.tok0_np = int(arr[0])
                     for e in self._finish_pending:
                         e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
+                    if (self.windows
+                            and self._seg_counter % self.pump_every == 0):
+                        self._pump_windows()
                 pending = dispatched
                 # idle machine: every live row is harvested, so nothing is
                 # coming that could grow the finisher batch — flush now
