@@ -18,6 +18,7 @@ import functools
 import logging
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -185,6 +186,12 @@ def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
     return units
 
 
+def _stream_close(req: "_Request", err: Optional[BaseException] = None):
+    """Terminate a streaming consumer: exception propagates, None ends."""
+    if req.stream_q is not None:
+        req.stream_q.put(err)
+
+
 @dataclass
 class _Request:
     ref: ReferenceFeatures
@@ -208,6 +215,10 @@ class _Request:
     emitted: int = 0          # latent frames already dispatched to vocode
     pieces: dict = field(default_factory=dict)   # start_frame -> pcm piece
     final_codes: Optional[np.ndarray] = None
+    # in-flight streaming (synthesize_stream): pieces are ALSO pushed to
+    # this queue as their fetches land; None terminates, an exception
+    # propagates to the consuming generator
+    stream_q: Optional[queue.Queue] = None
 
 
 class SlotBatcher:
@@ -367,6 +378,46 @@ class SlotBatcher:
             raise req.error
         return req.result
 
+    def synthesize_stream(self, ref: ReferenceFeatures, phones: np.ndarray,
+                          bert: np.ndarray, timeout: Optional[float] = None,
+                          min_steps: int = 0,
+                          max_steps: Optional[int] = None,
+                          sampling: Optional[SamplingConfig] = None):
+        """Streaming submit: yields PCM pieces AS THE WINDOW PUMP EMITS
+        them, while the request decodes in-flight next to others — the
+        under-load counterpart of the solo segmented streaming path
+        (which monopolizes the device per request). Requires windows mode
+        (cfg.slot_stream_finisher); without it the request completes
+        normally and yields once (no in-flight pieces exist to stream).
+        """
+        if not self.windows:
+            yield self.synthesize(ref, phones, bert, timeout=timeout,
+                                  min_steps=min_steps, max_steps=max_steps,
+                                  sampling=sampling)
+            return
+        self.start()
+        max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
+                        self.ring)
+        req = _Request(ref, phones.astype(np.int32), bert,
+                       min_steps=min(min_steps, max_steps),
+                       max_steps=max_steps, sampling=sampling,
+                       stream_q=queue.Queue())
+        self._q.put(req)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            budget = (None if deadline is None
+                      else max(deadline - time.monotonic(), 0.001))
+            try:
+                item = req.stream_q.get(timeout=budget)
+            except queue.Empty:
+                req.cancelled = True
+                raise TimeoutError("slot-batched stream timed out") from None
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     # -- scheduler --------------------------------------------------------
 
     def _occupied(self) -> bool:
@@ -398,6 +449,7 @@ class SlotBatcher:
                 self._insert_request(b, req)
             except BaseException as e:  # noqa: BLE001 — bad request only
                 req.error = e
+                _stream_close(req, e)
                 req.done.set()
                 free.insert(0, b)
 
@@ -504,10 +556,13 @@ class SlotBatcher:
                 for (req, start), piece in zip(
                         meta, TTSEngine.vocode_windows_fetch(handle)):
                     req.pieces[start] = piece
+                    if req.stream_q is not None and not req.cancelled:
+                        req.stream_q.put(piece)
             except BaseException as e:  # noqa: BLE001 — surface at completion
                 logger.exception("window fetch failed")
                 for req, _ in meta:
                     req.error = e
+                    _stream_close(req, e)
                     req.done.set()
 
         self._vocoder.submit(fetch)
@@ -556,6 +611,7 @@ class SlotBatcher:
             logger.exception("window completion dispatch failed")
             for req in reqs:
                 req.error = e
+                _stream_close(req, e)
                 req.done.set()
             return
 
@@ -572,9 +628,11 @@ class SlotBatcher:
                              else np.zeros(0, dtype))
                     req.result = audio[:total]
                     metrics.incr("slot_utterances")
+                    _stream_close(req)
                 except BaseException as e:  # noqa: BLE001
                     logger.exception("window assembly failed")
                     req.error = e
+                    _stream_close(req, e)
                 finally:
                     req.done.set()
 
@@ -725,12 +783,14 @@ class SlotBatcher:
         for req, _, _ in self._finish_pending:
             if not req.done.is_set():
                 req.error = e
+                _stream_close(req, e)
                 req.done.set()
         self._finish_pending = []
         for b, req in enumerate(self._slots):
             if req is not None and not req.harvested:
                 req.harvested = True
                 req.error = e
+                _stream_close(req, e)
                 req.done.set()
             self._slots[b] = None
         while True:
@@ -739,6 +799,7 @@ class SlotBatcher:
             except queue.Empty:
                 break
             req.error = e
+            _stream_close(req, e)
             req.done.set()
 
     def _reset_state(self) -> None:

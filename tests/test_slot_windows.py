@@ -172,6 +172,45 @@ def test_windows_path_matches_legacy_length():
     assert np.isfinite(outs[True]).all()
 
 
+def test_synthesize_stream_pieces():
+    """Streaming slot requests yield ordered pieces that reassemble to
+    exactly the blocking result's length; concurrent streams coexist."""
+    sb, ref = _mk_batcher(True, vocode_chunk=8, vocode_halo=2)
+    ph = np.arange(1, 6, dtype=np.int32)
+    bert = np.zeros((len(ph), TCFG.bert_dim), np.float32)
+    hop = VCFG.hop_length
+    outs = {}
+
+    def client(i):
+        pieces = list(sb.synthesize_stream(ref, ph, bert, timeout=300,
+                                           min_steps=24, max_steps=24))
+        outs[i] = pieces
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    sb.stop()
+    for i, pieces in outs.items():
+        assert len(pieces) >= 2, f"req {i} streamed {len(pieces)} pieces"
+        total = np.concatenate(pieces)
+        assert len(total) == 2 * 24 * hop
+        assert np.isfinite(total).all()
+
+
+def test_synthesize_stream_degrades_without_windows():
+    """Windows off: the stream generator still completes (one blob)."""
+    sb, ref = _mk_batcher(False)
+    ph = np.arange(1, 6, dtype=np.int32)
+    bert = np.zeros((len(ph), TCFG.bert_dim), np.float32)
+    pieces = list(sb.synthesize_stream(ref, ph, bert, timeout=300,
+                                       min_steps=12, max_steps=12))
+    sb.stop()
+    assert len(pieces) == 1
+    assert len(pieces[0]) == 2 * 12 * VCFG.hop_length
+
+
 def test_windows_multi_pump_assembly():
     """A decode long enough for several pumps assembles contiguously."""
     sb, ref = _mk_batcher(True, vocode_chunk=8, vocode_halo=2)
