@@ -30,7 +30,37 @@ logger = logging.getLogger(__name__)
 
 SUPPORTED_AUDIO_EXTS = {".wav", ".flac", ".ogg", ".aiff", ".aif"}
 
-engine = TTSEngine(RuntimeConfig())
+def _serving_mesh():
+    """Optional multi-chip serving mesh from GENIE_MESH="dpxtp" (e.g.
+    "4x2": batch shards over 4 dp groups, each decoding tp-sharded over
+    2 chips). Unset or 1x1 -> single-device serving. Characters loaded
+    through the API are placed per the mesh (engine.shard_character)."""
+    spec = os.environ.get("GENIE_MESH", "")
+    if not spec:
+        return None
+    try:
+        dp, tp = (int(x) for x in spec.lower().split("x"))
+    except ValueError as e:
+        raise ValueError(f"GENIE_MESH must be 'DPxTP', got {spec!r}") from e
+    if dp * tp <= 1:
+        return None
+    # device enumeration initializes the backend — pin GENIE_PLATFORM
+    # first (TTSEngine normally does this, but the mesh is built before
+    # the engine constructor runs)
+    platform = os.environ.get("GENIE_PLATFORM")
+    if platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platform)
+        except RuntimeError:
+            logger.warning("backend already initialized; GENIE_PLATFORM ignored")
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(dp=dp, tp=tp)
+
+
+engine = TTSEngine(RuntimeConfig(), mesh=_serving_mesh())
 
 # character -> reference-audio config (parity: Internal.py:37)
 _reference_audios: Dict[str, dict] = {}
@@ -75,7 +105,12 @@ def load_character(character_name: str,
     language = require_supported(language)
     if "Chinese" in language:  # Chinese/Hybrid: warm the BERT feature model
         model_manager.load_roberta()
-    model_manager.load_character(character_name, os.fspath(model_dir), language)
+    char = model_manager.load_character(character_name,
+                                        os.fspath(model_dir), language)
+    if engine.mesh is not None:
+        # place weights on the serving mesh: Megatron tp shardings on the
+        # T2S decoder when GENIE_MESH has tp>1, replication otherwise
+        engine.shard_character(char)
 
 
 def unload_character(character_name: str) -> None:

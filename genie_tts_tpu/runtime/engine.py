@@ -343,6 +343,30 @@ class TTSEngine:
                 char.prompt_encoder_params, rep)
         return char
 
+    def shard_character(self, char: CharacterModel) -> CharacterModel:
+        """Tensor-parallel placement of a character over the mesh's tp
+        axis: the T2S decoder's per-layer matmuls get Megatron shardings
+        (QKV/FFN-in column-parallel, Out/FFN-out row-parallel —
+        parallel/mesh.py; XLA inserts the all-reduces), everything else
+        replicates. Every serving path (solo, batched, slots) then runs
+        the decode tp-sharded — the jitted graphs are unchanged, GSPMD
+        partitions them from the parameter shardings. Combine with a dp
+        axis for 2D (batch x tensor) serving. Token parity vs replicated
+        execution: tests/test_dp_serving.py."""
+        if self.mesh is None or self.mesh.shape.get(self.cfg.tp_axis, 1) == 1:
+            return self.replicate_character(char)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import shard_params
+
+        char.t2s_params, _ = shard_params(char.t2s_params, self.mesh)
+        rep = NamedSharding(self.mesh, P())
+        char.sovits_params = jax.device_put(char.sovits_params, rep)
+        if char.prompt_encoder_params is not None:
+            char.prompt_encoder_params = jax.device_put(
+                char.prompt_encoder_params, rep)
+        return char
+
     # -- reference feature extraction ------------------------------------
 
     def compute_prompt_tokens(self, char: CharacterModel, ssl_content: np.ndarray) -> np.ndarray:

@@ -72,7 +72,7 @@ def main():
 
     slot_engine = TTSEngine(RuntimeConfig(
         slot_batch=4, slot_steps=4, slot_ring=16,
-        slot_phoneme_bucket=16, slot_prompt_bucket=16))
+        slot_phoneme_bucket=32, slot_prompt_bucket=16))
     slots = SlotBatcher(slot_engine, char)
 
     def slot_client(i, results):
@@ -110,9 +110,29 @@ def main():
         outs = dp_engine.synthesize_batch(char, items, seed=0, fixed_steps=8)
         print(f"dp=2 mesh served {len(outs)} utterances "
               f"({sum(len(a) for a in outs)} samples)")
+
+    # ---- 4. tensor-parallel decode (Megatron shardings over tp)
+    # shard_character places the T2S decoder matmuls over the mesh's tp
+    # axis (QKV/FFN-in column-parallel, Out/FFN-out row-parallel); every
+    # serving path then decodes tp-sharded — GSPMD inserts the
+    # all-reduces. Combine axes for 2D serving (e.g. dp=4 x tp=2).
+    # The HTTP server picks this up from GENIE_MESH="4x2".
+    if len(jax.devices()) >= 4:
+        import copy
+
+        mesh = make_mesh(dp=2, tp=2)
+        tp_engine = TTSEngine(RuntimeConfig(), mesh=mesh)
+        char_tp = copy.copy(char)
+        tp_engine.shard_character(char_tp)
+        outs = tp_engine.synthesize_batch(char_tp, items, seed=0,
+                                          fixed_steps=8)
+        print(f"dp=2 x tp=2 mesh served {len(outs)} utterances "
+              f"(decoder weights sharded: "
+              f"{char_tp.t2s_params['layers']['qkv']['w'].sharding.spec})")
     else:
         print("single device visible; run with "
-              "XLA_FLAGS=--xla_force_host_platform_device_count=8 to try dp")
+              "XLA_FLAGS=--xla_force_host_platform_device_count=8 to try "
+              "dp/tp meshes")
 
 
 if __name__ == "__main__":
