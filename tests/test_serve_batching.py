@@ -158,6 +158,30 @@ def test_stream_flag_bypasses_batcher():
     assert len(r.read()) > 0
 
 
+def test_stream_joins_slot_machine_with_windows():
+    """With the window-pump finisher enabled, streaming requests share
+    the in-flight slot machine instead of spinning solo machines."""
+    metrics.reset()
+    object.__setattr__(api.engine.cfg, "slot_stream_finisher", True)
+    # the cached batcher was built with windows off — rebuild
+    with api._slot_batchers_lock:
+        stale = api._slot_batchers.pop("batchy", None)
+    if stale is not None:
+        stale.stop()
+    try:
+        r = _post("/tts", {"character_name": "batchy", "text": "やあ。",
+                           "split_sentence": False, "stream": True})
+        assert len(r.read()) > 0
+        done = metrics.snapshot()["counters"].get("slot_utterances", 0)
+        assert done >= 1, "streaming request bypassed the slot machine"
+    finally:
+        object.__setattr__(api.engine.cfg, "slot_stream_finisher", False)
+        with api._slot_batchers_lock:
+            sb = api._slot_batchers.pop("batchy", None)
+        if sb is not None:
+            sb.stop()
+
+
 def test_warmup_sweep_compiles():
     from genie_tts_tpu.runtime.engine import make_random_reference
 
