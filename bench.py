@@ -135,9 +135,21 @@ def main():
                pick_bucket(n, cfg.phoneme_buckets))
         reps.setdefault(key, s)
     t0 = time.perf_counter()
-    for rep in reps.values():
-        for ms in MIN_STEPS_LADDER:
+    jobs = [(rep, ms) for rep in reps.values() for ms in MIN_STEPS_LADDER]
+    if backend == "cpu":
+        # XLA:CPU segfaults when a compile races other threads' compute
+        # (tests/conftest.py forensics) — warm serially there
+        for rep, ms in jobs:
             synth(rep, seed=0, min_steps=ms)
+    else:
+        # compiles run in C++ with the GIL released; overlapping the
+        # ladder halves the cold-start wall time (serial: 90-155 s)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            for _ in ex.map(lambda j: synth(j[0], seed=0, min_steps=j[1]),
+                            jobs):
+                pass
     compile_s = time.perf_counter() - t0
 
     # ---- headline: 100 EOS-terminated utterances, variable lengths
