@@ -4,6 +4,11 @@
 Prerequisites: a converted character checkpoint directory (see tutorial 3)
 and the shared GenieData assets (``genie.download_genie_data()``).
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import genie_tts_tpu as genie
 
 # 1. Load a character (a directory of t2s/vits safetensors + config.json).

@@ -4,6 +4,11 @@ reference's ``Tutorial/English/API Server Tutorial``).
 Starts the server in-process, streams ``/tts`` PCM16 chunks over chunked
 transfer encoding, and writes them to a wav file.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import json
 import threading
 import urllib.request

@@ -6,6 +6,11 @@ GPT-SoVITS fine-tuning. Output: a character checkpoint directory with
 fp16-on-disk safetensors for the JAX models (V2 or V2ProPlus detected by
 the reference's size heuristic).
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import genie_tts_tpu as genie
 
 genie.convert_model(

@@ -4,6 +4,11 @@ Demonstrates: V2ProPlus cloning (speaker-verification + prompt encoder),
 sentence-level async streaming, and the server's intra-utterance chunk
 streaming.
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import asyncio
 
 import genie_tts_tpu as genie
