@@ -247,14 +247,17 @@ def _make_synth_fn(character_name: str, sampling: Optional[SamplingConfig] = Non
         phones, bert = get_phones_and_bert("。" + sentence, char.language)
         if len(phones) == 0:
             return
-        # with the window-pump finisher enabled, streaming requests JOIN
-        # the shared slot machine and yield pieces as pumps emit them —
-        # concurrent streams share the chip instead of each monopolizing
-        # a solo machine (GENIE_SLOT_WINDOWS=1 opts in; the solo segmented
-        # path below is the default lowest-TTFA route)
-        if (engine.cfg.serve_slots and engine.cfg.slot_stream_finisher):
+        # Streaming route: the slot machine pumps window pieces PER-ROW,
+        # so a streaming request can JOIN the shared machine and yield
+        # pieces as pumps emit them — concurrent streams then share the
+        # chip instead of each monopolizing a solo machine. Policy: slot
+        # machine BUSY (or legacy all-pump mode) -> join it; idle -> the
+        # solo segmented path below (lowest TTFA, device to itself).
+        if engine.cfg.serve_slots:
             sb = get_slot_batcher(char)
-            if sb.fits(feats, phones):
+            if sb.fits(feats, phones) and (
+                    engine.cfg.slot_stream_finisher
+                    or sb._occupied() or not sb._q.empty()):
                 yield from sb.synthesize_stream(feats, phones, bert,
                                                 sampling=sampling)
                 return

@@ -172,6 +172,23 @@ class RuntimeConfig:
     # machine flushes immediately so solo latency is unaffected.
     slot_finisher_batch: int = 4
     slot_finisher_wait_segs: int = 2
+    # Windowed KV reads for the slot decode (models/slots.py): each
+    # segment's attention streams only the first ctx_window >= max row
+    # x_len+p_len context columns and the last ring_window >= max row
+    # keys_written ring writes, instead of the whole padded cache (decode
+    # is KV-read bound at the serving geometry: ~352 MB/step of bf16 KV
+    # at 8x896; measured -0.22 ms/step for a 256-column ring window).
+    # The scheduler picks the smallest ladder entries covering the active
+    # rows per dispatch; when EITHER dimension exceeds its ladder it
+    # falls back to the full cache read (so the reachable graph set stays
+    # ladder-product + 1, all warmed ahead of traffic — no mid-run
+    # compile stalls). GENIE_SLOT_WINDOWED_KV=0 disables (full reads).
+    slot_ctx_windows: Tuple[int, ...] = (256,)
+    slot_ring_windows: Tuple[int, ...] = (256, 384)
+    slot_windowed_kv: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "GENIE_SLOT_WINDOWED_KV", "1").lower() not in (
+                "0", "false", "off"))
     # Streaming window finisher (OPT-IN): instead of vocoding each
     # utterance whole at completion, every chunk's worth of decoded codes
     # vocodes DURING decode as one batch across all in-flight rows

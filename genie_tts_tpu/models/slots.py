@@ -42,9 +42,27 @@ from . import t2s
 
 
 class SlotState(NamedTuple):
-    """Device-resident decode state for B slots (donate into each segment)."""
+    """Device-resident decode state for B slots (donate into each segment).
 
-    k_cache: jnp.ndarray      # [L,B,H,Dh,S]  S = Sx+Sp+ring_len, kv-major
+    Cache layout [L,B,H,Dh,S] kv-major with S = Sx+Sp+2*ring_len:
+
+    * ``[0, Sx+Sp)`` — the request's COMPACTED prefill context: text then
+      prompt K/V columns gathered to the front at prefill time (valid
+      columns are exactly ``[0, x_len+p_len)`` — no pad holes to read
+      around);
+    * ``[Sx+Sp, Sx+Sp+ring)`` — the decode ring in ring-index order (the
+      classic layout);
+    * ``[Sx+Sp+ring, Sx+Sp+2*ring)`` — a SECOND copy of the ring, written
+      at ``head+ring`` by the same merge. Ring column j and j+ring are
+      always identical, so the last ``ring_win`` writes form one
+      CONTIGUOUS window ending at ``head+ring`` — decode_segment's
+      windowed read slices just that window instead of streaming the
+      whole ring every step (decode is KV-read bound at the serving
+      geometry; the duplicate write is one extra W-column store per
+      segment).
+    """
+
+    k_cache: jnp.ndarray      # [L,B,H,Dh,S]  S = Sx+Sp+2*ring_len, kv-major
     v_cache: jnp.ndarray      # [L,B,H,Dh,S]
     # int8 KV mode (init_slots kv_int8=True): caches hold int8 codes and
     # these carry the per-column fp32 dequant scales [L,B,H,S]; None in
@@ -96,7 +114,7 @@ def init_slots(cfg: T2SConfig, n_slots: int, sx: int, sp: int, ring_len: int,
                dtype=jnp.bfloat16, kv_int8: bool = False) -> SlotState:
     L, H, Dh, V = (cfg.num_layers, cfg.num_heads, cfg.head_dim,
                    cfg.semantic_vocab)
-    S = sx + sp + ring_len
+    S = sx + sp + 2 * ring_len   # doubled ring: see SlotState docstring
     B = n_slots
     z = jnp.zeros
     cache_dtype = jnp.int8 if kv_int8 else dtype
@@ -135,6 +153,14 @@ def prefill_join(
     :func:`insert_slot`. Mirrors the head of :func:`t2s.generate`
     (first-draw EOS mask included). Sampling parameters arrive as [1]
     arrays so one compiled prefill graph serves every SamplingConfig.
+
+    The returned context columns are COMPACTED: the valid text columns
+    (``[0, x_len)`` of the packed layout) and prompt columns (``[Sx,
+    Sx+p_len)``) are gathered to the front, so the slot machine's decode
+    reads ``[0, x_len+p_len)`` instead of masking around two pad holes —
+    and can slice its context read to a ladder bucket. Decode attention
+    sees the same key/value SET either way; only the (irrelevant) column
+    order changes.
     """
     Sx, Sp = phones.shape[1], prompts.shape[1]
     V = cfg.semantic_vocab
@@ -145,6 +171,14 @@ def prefill_join(
                                           p_len, cache_len=Sx + Sp)
     k_ctx = jnp.swapaxes(k_ctx, -1, -2)     # kv-major [L,1,H,Dh,Sx+Sp]
     v_ctx = jnp.swapaxes(v_ctx, -1, -2)
+    # compact: [text pad-hole prompt pad-hole] -> [text prompt ...], i.e.
+    # position j reads source column j (text) or Sx + j - x_len (prompt);
+    # columns past x_len+p_len are garbage behind the decode mask
+    pos = jnp.arange(Sx + Sp)
+    src = jnp.where(pos < x_len[0], pos,
+                    jnp.minimum(Sx + pos - x_len[0], Sx + Sp - 1))
+    k_ctx = jnp.take(k_ctx, src, axis=-1)
+    v_ctx = jnp.take(v_ctx, src, axis=-1)
     hist = jnp.zeros((1, V), jnp.int32)
     prompt_valid = jnp.arange(Sp)[None, :] < p_len[:, None]
     hist = hist.at[jnp.zeros((1, 1), jnp.int32),
@@ -224,6 +258,8 @@ def decode_segment(
     ring_len: int,
     layer_unroll: int = 1,
     kv_kernel: bool = False,
+    ctx_win: Optional[int] = None,
+    ring_win: Optional[int] = None,
 ) -> Tuple[SlotState, jnp.ndarray]:
     """Advance every occupied slot ``seg_steps`` decode steps (one dispatch).
 
@@ -231,7 +267,20 @@ def decode_segment(
     segment per row; rows that are done/empty repeat EOS. The per-step
     K/V columns collect in a [L,B,H,Dh,W] buffer via
     :func:`t2s._layer_decode_buffered`; one merge writes them to the ring
-    at the (row-uniform) ring head. ``ring_len % seg_steps == 0``.
+    at the (row-uniform) ring head — TWICE, at ``head`` and ``head+ring``
+    (see SlotState: the second copy makes any backward window contiguous).
+    ``ring_len % seg_steps == 0``.
+
+    ``ctx_win``/``ring_win`` bound the big-cache READ (decode is KV-read
+    bound at the serving geometry — BENCH_r02: ~352 MB/step of bf16 KV at
+    8x896): attention streams only the first ``ctx_win`` context columns
+    and the last ``ring_win`` ring writes instead of the whole padded
+    cache. The caller must guarantee every active row fits: ``x_len[b] +
+    p_len[b] <= ctx_win`` and ``keys_written[b] <= ring_win`` — otherwise
+    valid keys silently fall outside the read (the scheduler picks the
+    windows from per-row host bookkeeping, runtime/slot_batcher.py).
+    Defaults read everything. The Pallas int8 kernel path indexes the
+    classic first-copy layout and ignores the windows.
     """
     assert ring_len % seg_steps == 0, "segment must not wrap the ring"
     W = seg_steps
@@ -245,24 +294,56 @@ def decode_segment(
                  else state.k_cache.dtype)
     V = cfg.semantic_vocab
     Sx, Sp = sx, sp
+    ctx_win = min(ctx_win or Sx + Sp, Sx + Sp)
+    ring_win = min(ring_win or ring_len, ring_len)
+    use_kernel = int8_kv and kv_kernel
     pe_full = t2s.sine_position_table(Sx + Sp + ring_len, cfg.embed_dim,
                                       dtype=jnp.float32)
-    kv_positions = jnp.arange(S)[None, :]
     gumbel = jax.random.gumbel(key, (W, B, V), dtype=jnp.float32)
     forbid_eos = jnp.zeros((V,), bool).at[cfg.eos_id].set(True)
     head0 = state.ring_head
+    ctx_len = state.x_len + state.p_len          # compacted ctx (prefill_join)
 
-    # ring visibility is frozen for the whole segment: column j holds the
-    # write of age (head0 - 1 - j) mod ring_len; a row sees its last
-    # keys_written writes (in-segment columns live in the buffer)
-    ring_pos = jnp.arange(ring_len)[None, :]
-    age = jnp.mod(head0 - 1 - ring_pos, ring_len)
-    ring_valid = age < state.keys_written[:, None]              # [B, ring]
-    kv_mask = (
-        (kv_positions < state.x_len[:, None])
-        | ((kv_positions >= Sx) & (kv_positions < Sx + state.p_len[:, None]))
-    )
-    kv_mask = kv_mask.at[:, Sx + Sp:].set(ring_valid)
+    def slice_last(x, start, width):
+        return jax.lax.dynamic_slice_in_dim(x, start, width, axis=-1)
+
+    if use_kernel:
+        # Pallas kernel path: classic monolithic cache view (first ring
+        # copy, ring-index order); the kernel recomputes visibility from
+        # the segment-frozen scalars
+        S1 = Sx + Sp + ring_len
+        k_read = (state.k_cache[..., :S1],)
+        v_read = (state.v_cache[..., :S1],)
+        ks_read = (state.k_scale[..., :S1],)
+        vs_read = (state.v_scale[..., :S1],)
+        ring_pos = jnp.arange(ring_len)[None, :]
+        age = jnp.mod(head0 - 1 - ring_pos, ring_len)
+        ring_valid = age < state.keys_written[:, None]          # [B, ring]
+        kv_positions = jnp.arange(S1)[None, :]
+        kv_mask = (kv_positions < ctx_len[:, None])
+        kv_mask = kv_mask.at[:, Sx + Sp:].set(ring_valid)
+        kv_mask = (kv_mask,)
+    else:
+        # windowed read: [first ctx_win context cols | last ring_win ring
+        # writes]. The window ends at head+ring (exclusive) in the doubled
+        # region, so window column j carries the write of age
+        # ring_win-1-j; sliced ONCE per segment, read every step.
+        win_start = Sx + Sp + ring_len + head0 - ring_win
+        k_read = (state.k_cache[..., :ctx_win],
+                  slice_last(state.k_cache, win_start, ring_win))
+        v_read = (state.v_cache[..., :ctx_win],
+                  slice_last(state.v_cache, win_start, ring_win))
+        if int8_kv:
+            ks_read = (state.k_scale[..., :ctx_win],
+                       slice_last(state.k_scale, win_start, ring_win))
+            vs_read = (state.v_scale[..., :ctx_win],
+                       slice_last(state.v_scale, win_start, ring_win))
+        else:
+            ks_read = vs_read = (None, None)
+        ctx_mask = jnp.arange(ctx_win)[None, :] < ctx_len[:, None]
+        win_age = ring_win - 1 - jnp.arange(ring_win)[None, :]
+        win_mask = win_age < state.keys_written[:, None]        # [B, ring_win]
+        kv_mask = (ctx_mask, win_mask)
 
     def inner(i, carry):
         (cur_tok, keys_written, counts, done, hist, seg_tokens,
@@ -281,19 +362,27 @@ def decode_segment(
         ctx = ((state.x_len, state.p_len, state.keys_written, head0,
                 Sx, Sp, ring_len) if (int8_kv and kv_kernel) else None)
 
+        n_reg = len(k_read)
+
         def layer_body(h, inputs):
             if int8_kv:
                 lp, kb, vb, ks, vs, kbuf, vbuf = inputs
             else:
-                (lp, kb, vb, kbuf, vbuf), ks, vs = inputs, None, None
+                (lp, kb, vb, kbuf, vbuf), ks, vs = (
+                    inputs, (None,) * n_reg, (None,) * n_reg)
+            if use_kernel:   # kernel path takes the monolithic region
+                kb, vb, ks, vs = kb[0], vb[0], ks[0], vs[0]
+                msk = kv_mask[0]
+            else:
+                msk = kv_mask
             h, k_new, v_new = t2s._layer_decode_buffered(
-                lp, h, kb, vb, kbuf, vbuf, buf_mask, kv_mask, H,
+                lp, h, kb, vb, kbuf, vbuf, buf_mask, msk, H,
                 k_scale=ks, v_scale=vs, kv_kernel_ctx=ctx)
             return h, (k_new, v_new)
 
-        xs = ((params["layers"], state.k_cache, state.v_cache,
-               state.k_scale, state.v_scale, k_buf, v_buf) if int8_kv else
-              (params["layers"], state.k_cache, state.v_cache, k_buf, v_buf))
+        xs = ((params["layers"], k_read, v_read, ks_read, vs_read,
+               k_buf, v_buf) if int8_kv else
+              (params["layers"], k_read, v_read, k_buf, v_buf))
         h, (k_cols, v_cols) = jax.lax.scan(
             layer_body, h, xs, unroll=layer_unroll)
         k_buf = jax.lax.dynamic_update_slice_in_dim(
@@ -335,18 +424,27 @@ def decode_segment(
             (state.cur_tok, state.keys_written, state.counts, state.done,
              state.hist, seg_tokens0, k_buf, v_buf))
 
-    # merge the segment's W columns at the (uniform) ring head
+    # merge the segment's W columns at the (uniform) ring head — twice:
+    # ring-index copy at head, window copy at head+ring (contiguity)
     base = Sx + Sp + head0
     k_scale, v_scale = state.k_scale, state.v_scale
     if int8_kv:
         k_buf, ks = quantize_kv_columns(k_buf)
         v_buf, vs = quantize_kv_columns(v_buf)
         k_scale = jax.lax.dynamic_update_slice(k_scale, ks, (0, 0, 0, base))
+        k_scale = jax.lax.dynamic_update_slice(
+            k_scale, ks, (0, 0, 0, base + ring_len))
         v_scale = jax.lax.dynamic_update_slice(v_scale, vs, (0, 0, 0, base))
+        v_scale = jax.lax.dynamic_update_slice(
+            v_scale, vs, (0, 0, 0, base + ring_len))
     k_cache = jax.lax.dynamic_update_slice(
         state.k_cache, k_buf, (0, 0, 0, 0, base))
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_buf, (0, 0, 0, 0, base + ring_len))
     v_cache = jax.lax.dynamic_update_slice(
         state.v_cache, v_buf, (0, 0, 0, 0, base))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_buf, (0, 0, 0, 0, base + ring_len))
     state = state._replace(
         k_cache=k_cache, v_cache=v_cache, k_scale=k_scale, v_scale=v_scale,
         cur_tok=cur_tok,

@@ -304,31 +304,53 @@ def _layer_decode_buffered(lp: Params, h: jnp.ndarray, k_big, v_big,
         ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
         h = layer_norm(lp["norm2"], h + ff)
         return h, k_new, v_new
-    if k_scale is not None:
-        k_big = k_big.astype(q.dtype)
-    if v_scale is not None:
-        v_big = v_big.astype(q.dtype) * v_scale[:, :, None, :].astype(q.dtype)
-    s_big = jnp.einsum("bhqd,bhds->bhqs", q, k_big,
+    # The big cache may arrive as ONE region (the classic full-cache read)
+    # or as SEVERAL regions — e.g. the slot machine's (ctx slice, live ring
+    # window), which reads only the columns that can be visible instead of
+    # the whole padded cache (decode is KV-read bound at the slot
+    # geometry). Regions concatenate in SCORE space: softmax over
+    # [regions... | buffer | self] is one distribution either way.
+    kb_parts = k_big if isinstance(k_big, (tuple, list)) else (k_big,)
+    vb_parts = v_big if isinstance(v_big, (tuple, list)) else (v_big,)
+    mask_parts = kv_mask if isinstance(kv_mask, (tuple, list)) else (kv_mask,)
+    ks_parts = (k_scale if isinstance(k_scale, (tuple, list))
+                else (k_scale,) * len(kb_parts))
+    vs_parts = (v_scale if isinstance(v_scale, (tuple, list))
+                else (v_scale,) * len(kb_parts))
+    s_parts, v_parts = [], []
+    for kb, vb, msk, ks, vs in zip(kb_parts, vb_parts, mask_parts,
+                                   ks_parts, vs_parts):
+        if ks is not None:
+            kb = kb.astype(q.dtype)
+        if vs is not None:
+            vb = vb.astype(q.dtype) * vs[:, :, None, :].astype(q.dtype)
+        s = jnp.einsum("bhqd,bhds->bhqs", q, kb,
                        preferred_element_type=jnp.float32) * scale
-    if k_scale is not None:
-        s_big = s_big * k_scale[:, :, None, :]
-    s_big = jnp.where(kv_mask[:, None, None, :], s_big, jnp.float32(-1e10))
+        if ks is not None:
+            s = s * ks[:, :, None, :]
+        s_parts.append(jnp.where(msk[:, None, None, :], s,
+                                 jnp.float32(-1e10)))
+        v_parts.append(vb)
     s_buf = jnp.einsum("bhqd,bhdw->bhqw", q, k_buf,
                        preferred_element_type=jnp.float32) * scale
     s_buf = jnp.where(buf_mask[None, None, None, :], s_buf, jnp.float32(-1e10))
     s_self = jnp.sum(q.astype(jnp.float32) * k_new[:, :, None, :],
                      axis=-1, keepdims=True) * scale     # [B,H,1,1]
-    S, W = s_big.shape[-1], s_buf.shape[-1]
+    W = s_buf.shape[-1]
     probs = jax.nn.softmax(
-        jnp.concatenate([s_big, s_buf, s_self], axis=-1), axis=-1
+        jnp.concatenate(s_parts + [s_buf, s_self], axis=-1), axis=-1
     ).astype(q.dtype)
-    p_big, p_buf, p_self = (probs[..., :S], probs[..., S:S + W],
-                            probs[..., S + W:])
-    att = (jnp.einsum("bhqs,bhds->bhqd", p_big, v_big,
-                      preferred_element_type=q.dtype)
-           + jnp.einsum("bhqw,bhdw->bhqd", p_buf, v_buf,
-                        preferred_element_type=q.dtype)
-           + p_self * v_new[:, :, None, :])
+    att = 0.0
+    off = 0
+    for s, vb in zip(s_parts, v_parts):
+        n = s.shape[-1]
+        att = att + jnp.einsum("bhqs,bhds->bhqd", probs[..., off:off + n],
+                               vb, preferred_element_type=q.dtype)
+        off += n
+    att = (att
+           + jnp.einsum("bhqw,bhdw->bhqd", probs[..., off:off + W],
+                        v_buf, preferred_element_type=q.dtype)
+           + probs[..., off + W:] * v_new[:, :, None, :])
     h = layer_norm(lp["norm1"], h + linear(lp["out"], _merge_heads(att)))
     ff = linear(lp["ffn2"], jax.nn.relu(linear(lp["ffn1"], h)))
     h = layer_norm(lp["norm2"], h + ff)

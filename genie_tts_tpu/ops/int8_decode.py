@@ -66,13 +66,14 @@ def _kernel(xl_ref, pl_ref, kw_ref, head_ref,      # scalar prefetch (SMEM)
     kw = kw_ref[b]
     head = head_ref[0]
 
-    # frozen-segment visibility (models/slots.py::decode_segment): text
-    # block, prompt block, and the last `kw` ring writes before `head`
+    # frozen-segment visibility (models/slots.py::decode_segment): the
+    # COMPACTED context block [0, x_len+p_len) (prefill_join gathers text
+    # then prompt columns to the front) and the last `kw` ring writes
+    # before `head`
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
     rpos = pos - (sx + sp)
     age = jnp.remainder(head - 1 - rpos, ring)
-    valid = ((pos < xl)
-             | ((pos >= sx) & (pos < sx + plen))
+    valid = ((pos < xl + plen)
              | ((rpos >= 0) & (age < kw)))          # [1, S]
 
     # VPU broadcast-reduce for both contractions: the dims are too small
@@ -157,8 +158,7 @@ def xla_big_attention(q, kq, ks, vq, vs, x_len, p_len, keys_written,
     pos = jnp.arange(S)[None, :]
     rpos = pos - (sx + sp)
     age = jnp.mod(ring_head - 1 - rpos, ring)
-    valid = ((pos < x_len[:, None])
-             | ((pos >= sx) & (pos < sx + p_len[:, None]))
+    valid = ((pos < (x_len + p_len)[:, None])       # compacted ctx block
              | ((rpos >= 0) & (age < keys_written[:, None])))   # [B, S]
     kf = kq.astype(jnp.float32) * ks[:, :, None, :]
     vf = vq.astype(jnp.float32) * vs[:, :, None, :]

@@ -56,20 +56,23 @@ def _strip_big(state):
 
 def _kv_kernel_enabled(cfg) -> bool:
     """Route the int8-KV big-cache attention through the Pallas kernel
-    (ops/int8_decode.py). TPU-only: the XLA dequant fallback runs on CPU
-    (tests, virtual meshes). GENIE_KV_KERNEL=0 forces the XLA path."""
+    (ops/int8_decode.py). TPU-only: every other backend (CPU tests,
+    virtual meshes, GPU) takes the pure-XLA dequant fallback — the kernel
+    uses pltpu grid specs that would fail to trace elsewhere.
+    GENIE_KV_KERNEL=0 forces the XLA path."""
     import os
 
     if os.environ.get("GENIE_KV_KERNEL", "1").lower() in ("0", "false"):
         return False
-    return cfg.slot_kv_int8 and jax.default_backend() != "cpu"
+    return cfg.slot_kv_int8 and jax.default_backend() == "tpu"
 
 
 @functools.partial(
     jax.jit, donate_argnames=("kc", "vc", "ks", "vs"),
-    static_argnames=("tcfg", "W", "sx", "sp", "ring", "unroll", "kv_kernel"))
+    static_argnames=("tcfg", "W", "sx", "sp", "ring", "unroll", "kv_kernel",
+                     "ctx_win", "ring_win"))
 def _seg_jit(params, kc, vc, ks, vs, small, key, *, tcfg, W, sx, sp, ring,
-             unroll, kv_kernel=False):
+             unroll, kv_kernel=False, ctx_win=None, ring_win=None):
     # Donation is split: ONLY the big KV caches (+ int8 scales) donate
     # (in-place reuse across dispatches). The small state leaves
     # (done/counts/...) and seg_tokens must SURVIVE the next dispatch —
@@ -79,7 +82,7 @@ def _seg_jit(params, kc, vc, ks, vs, small, key, *, tcfg, W, sx, sp, ring,
     state, seg_tok = slots_mod.decode_segment(
         state=state, params=params, key=key, cfg=tcfg, seg_steps=W,
         sx=sx, sp=sp, ring_len=ring, layer_unroll=unroll,
-        kv_kernel=kv_kernel)
+        kv_kernel=kv_kernel, ctx_win=ctx_win, ring_win=ring_win)
     return (state.k_cache, state.v_cache, state.k_scale, state.v_scale,
             _strip_big(state), seg_tok)
 
@@ -105,6 +108,18 @@ def _release_jit(small, slot):  # touches flags only — no caches involved
 
 
 _prefill_jit = jax.jit(slots_mod.prefill_join, static_argnames=("cfg",))
+
+
+def seg_window_combos(cfg, sx: int, sp: int, ring: int) -> list:
+    """Every (ctx_win, ring_win) static pair the scheduler can dispatch:
+    the ladder product plus the full-read fallback (None, None). Warmed
+    ahead of traffic so window transitions never stall on a compile."""
+    combos = [(None, None)]
+    if cfg.slot_windowed_kv and not _kv_kernel_enabled(cfg):
+        ctx_l = [w for w in cfg.slot_ctx_windows if w < sx + sp]
+        ring_l = [w for w in cfg.slot_ring_windows if w < ring]
+        combos += [(c, r) for c in ctx_l for r in ring_l]
+    return combos
 
 
 def slot_geometry(cfg, tcfg) -> "tuple[int, int, int, int, int]":
@@ -171,16 +186,20 @@ def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
         kc, vc, ks, vs, small, scalar, ctx_k, ctx_v, tok0, hist,
         scalar, scalar, scalar, scalar, samp0, ring=ring).compile())
     units.append(lambda: _release_jit.lower(small, scalar).compile())
-    units.append(lambda: _seg_jit.lower(
-        params, kc, vc, ks, vs, small, key, tcfg=tcfg, W=W, sx=sx, sp=sp,
-        ring=ring, unroll=unroll,
-        kv_kernel=_kv_kernel_enabled(cfg)).compile())
-    if cfg.slot_stream_finisher:
-        units.extend(engine.window_warmup_units(
-            char, wins=(cfg.vocode_chunk + 2 * cfg.vocode_halo,
-                        cfg.vocode_chunk // 2 + 2 * cfg.vocode_halo),
-            t_bucket=_slot_finisher_t_bucket(cfg), pcm16=pcm16))
-    else:
+    for cw, rw in seg_window_combos(cfg, sx, sp, ring):
+        units.append(functools.partial(
+            lambda cw, rw: _seg_jit.lower(
+                params, kc, vc, ks, vs, small, key, tcfg=tcfg, W=W, sx=sx,
+                sp=sp, ring=ring, unroll=unroll,
+                kv_kernel=_kv_kernel_enabled(cfg),
+                ctx_win=cw, ring_win=rw).compile(), cw, rw))
+    # window-pump graphs: streaming rows pump per-row even without the
+    # machine-wide flag, so a server must have them warm
+    units.extend(engine.window_warmup_units(
+        char, wins=(cfg.vocode_chunk + 2 * cfg.vocode_halo,
+                    cfg.vocode_chunk // 2 + 2 * cfg.vocode_halo),
+        t_bucket=_slot_finisher_t_bucket(cfg), pcm16=pcm16))
+    if not cfg.slot_stream_finisher:
         units.extend(engine.finisher_warmup_units(
             char, t_buckets=(_slot_finisher_t_bucket(cfg),), pcm16=pcm16))
     return units
@@ -200,6 +219,7 @@ class _Request:
     min_steps: int
     max_steps: int
     sampling: Optional[SamplingConfig] = None
+    ctx_cols: int = 0         # x_len + p_len (compacted context columns)
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
@@ -247,13 +267,30 @@ class SlotBatcher:
             _seg_jit, tcfg=tcfg, W=self.W, sx=self.sx, sp=self.sp,
             ring=self.ring, unroll=self._unroll,
             kv_kernel=_kv_kernel_enabled(self.cfg))
+        # windowed KV reads: ladder of (ctx, ring) read windows; the
+        # dispatch loop picks the smallest pair covering every active row
+        # (host bookkeeping in self._merged / req.ctx_cols). Joint
+        # fallback to the full read keeps the compiled-graph set small.
+        self.windowed_kv = (self.cfg.slot_windowed_kv
+                            and not _kv_kernel_enabled(self.cfg))
+        self._ctx_ladder = tuple(sorted(
+            w for w in self.cfg.slot_ctx_windows if w < self.sx + self.sp))
+        self._ring_ladder = tuple(sorted(
+            w for w in self.cfg.slot_ring_windows if w < self.ring))
+        self._merged = [0] * self.n_slots   # merged ring keys per slot
         self._insert = functools.partial(_insert_jit, ring=self.ring)
         self._release = _release_jit
         self._prefill_join = functools.partial(_prefill_jit, cfg=tcfg)
 
-        # streaming window finisher (cfg.slot_stream_finisher): vocode one
-        # vocode_chunk window per in-flight row every pump_every segments,
-        # batched across rows; completion vocodes only the remainder
+        # Window pump: vocode one vocode_chunk window per pumped row every
+        # pump_every segments, batched across rows; completion vocodes
+        # only the remainder. PER-ROW policy: rows with a STREAMING
+        # consumer (synthesize_stream) always pump — that is what makes
+        # slot-served responses stream with decode-bound TTFA. Rows
+        # without a consumer skip the pump (its latent recomputes cost
+        # ~10% throughput, the r3 negative result) and complete through
+        # the POOLED whole-utterance finisher — unless
+        # cfg.slot_stream_finisher forces the legacy all-rows-pump mode.
         self.windows = self.cfg.slot_stream_finisher
         self.chunk = self.cfg.vocode_chunk
         self.halo = self.cfg.vocode_halo
@@ -269,12 +306,14 @@ class SlotBatcher:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
-        # windows mode pins ONE fetch worker: piece fetches and the final
-        # assembly then execute in submission order, so a completion never
-        # reads a window piece that is still in flight
+        # pooled finisher fetches overlap on two workers; window-pump
+        # piece fetches and window completions pin ONE dedicated worker so
+        # they execute in submission order — a completion never reads a
+        # window piece that is still in flight
         self._vocoder = ThreadPoolExecutor(
-            max_workers=1 if self.windows else 2,
-            thread_name_prefix="slot-vocode")
+            max_workers=2, thread_name_prefix="slot-vocode")
+        self._winworker = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="slot-windows")
         # finished rows awaiting the batched finisher vocode. Vocoding each
         # segment's finishers alone runs at B=1-2 (~108 ms/utt measured on
         # v5e vs 43 ms/utt at B=8) and was the dominant serving cost; rows
@@ -316,15 +355,17 @@ class SlotBatcher:
                 and len(ref.prompt_tokens) <= self.sp)
 
     def warmup(self, ref: ReferenceFeatures, text_phones: np.ndarray,
-               max_steps: Optional[int] = None) -> int:
+               max_steps: Optional[int] = None,
+               streaming: bool = False) -> int:
         """Compile the serving graphs before traffic: the finisher-vocode
         batch ladder (finisher group sizes are load-dependent — an unwarmed
         B bucket would stall a mid-run completion for a full compile), then
-        prefill+insert+segment via one real tiny request."""
+        prefill+insert+segment via one real tiny request. ``streaming``:
+        also compile the window-pump graphs streaming consumers hit."""
         max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
                         self.ring)
         n = 0
-        if self.windows:
+        if self.windows or streaming:
             # window pump + remainder graphs at every (batch, frame>=win/2,
             # window) bucket — AOT lower+compile on a thread pool (serial
             # eager warmup measured 430 s on v5e; compiles release the GIL)
@@ -332,7 +373,7 @@ class SlotBatcher:
                 self.engine.window_warmup_units(
                     self.char, wins=(self.win, self.win_small),
                     t_bucket=self._t_buckets[0], pcm16=self.pcm16))
-        else:
+        if not self.windows:
             # finisher groups mix arbitrary lengths: warm the frame bucket
             # of the cap AND the half-cap (the buckets real traffic lands in)
             for length in {max(max_steps, 1), max(max_steps // 2, 1)}:
@@ -347,6 +388,28 @@ class SlotBatcher:
                     n += 1
                     if b >= self.n_slots:
                         break
+        # AOT-compile every windowed-KV segment graph the scheduler can
+        # dispatch (ladder product + full fallback) — a window transition
+        # mid-traffic must not stall on a compile
+        combos = seg_window_combos(self.cfg, self.sx, self.sp, self.ring)
+        if len(combos) > 1:
+            state = jax.eval_shape(functools.partial(
+                slots_mod.init_slots, self.char.t2s_cfg, self.n_slots,
+                self.sx, self.sp, self.ring,
+                dtype=self.char.t2s_params["audio_embed"].dtype,
+                kv_int8=self.cfg.slot_kv_int8))
+            small = _strip_big(state)
+            key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+            kw = dict(tcfg=self.char.t2s_cfg, W=self.W, sx=self.sx,
+                      sp=self.sp, ring=self.ring, unroll=self._unroll,
+                      kv_kernel=_kv_kernel_enabled(self.cfg))
+            n += self.engine._run_compile_units([
+                functools.partial(
+                    lambda cw, rw: _seg_jit.lower(
+                        self.char.t2s_params, state.k_cache, state.v_cache,
+                        state.k_scale, state.v_scale, small, key,
+                        ctx_win=cw, ring_win=rw, **kw).compile(), cw, rw)
+                for cw, rw in combos])
         bert = np.zeros((len(text_phones), self.char.t2s_cfg.bert_dim),
                         np.float32)
         self.synthesize(ref, text_phones, bert, timeout=600,
@@ -386,15 +449,12 @@ class SlotBatcher:
         """Streaming submit: yields PCM pieces AS THE WINDOW PUMP EMITS
         them, while the request decodes in-flight next to others — the
         under-load counterpart of the solo segmented streaming path
-        (which monopolizes the device per request). Requires windows mode
-        (cfg.slot_stream_finisher); without it the request completes
-        normally and yields once (no in-flight pieces exist to stream).
+        (which monopolizes the device per request). Streaming rows pump
+        PER-ROW: concurrent non-streaming requests keep the cheaper
+        pooled whole-utterance finisher (no machine-wide throughput tax).
+        Call :meth:`warmup` with ``streaming=True`` before traffic or the
+        first stream stalls on the window-graph compiles.
         """
-        if not self.windows:
-            yield self.synthesize(ref, phones, bert, timeout=timeout,
-                                  min_steps=min_steps, max_steps=max_steps,
-                                  sampling=sampling)
-            return
         self.start()
         max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
                         self.ring)
@@ -430,7 +490,30 @@ class SlotBatcher:
             if req is not None and req.cancelled and not req.harvested:
                 req.harvested = True
                 self._slots[b] = None
+                self._merged[b] = 0
                 self._small = self._release(self._small, np.int32(b))
+
+    def _pick_windows(self) -> "tuple[Optional[int], Optional[int]]":
+        """Smallest (ctx_win, ring_win) read windows covering every
+        occupied slot: ctx >= max row x_len+p_len, ring >= max merged
+        ring keys (self._merged — bumped by W per dispatched segment, so
+        in-flight segments are covered). Falls back to the full read
+        (None, None) when either dimension exceeds its ladder, keeping
+        the reachable graph set at |ctx|x|ring| + 1."""
+        if not self.windowed_kv:
+            return None, None
+        ctx_need = ring_need = 0
+        for b, req in enumerate(self._slots):
+            if req is None:
+                continue
+            ctx_need = max(ctx_need, req.ctx_cols)
+            ring_need = max(ring_need, self._merged[b])
+        ctx_win = next((w for w in self._ctx_ladder if w >= ctx_need), None)
+        ring_win = next((w for w in self._ring_ladder if w >= ring_need),
+                        None)
+        if ctx_win is None or ring_win is None:
+            return None, None
+        return ctx_win, ring_win
 
     def _fill_slots(self, block: bool) -> None:
         self._drop_cancelled()
@@ -491,6 +574,8 @@ class SlotBatcher:
             np.int32(len(ref.prompt_tokens)),
             np.int32(req.min_steps), np.int32(req.max_steps),
             SamplingRows(*(a[0] for a in samp)))
+        req.ctx_cols = len(packed) + len(ref.prompt_tokens)
+        self._merged[b] = 0
         self._slots[b] = req
 
     def _harvest(self, seg_tok: np.ndarray, done: np.ndarray,
@@ -511,6 +596,7 @@ class SlotBatcher:
                 req.harvested = True
                 if self._slots[b] is req:
                     self._slots[b] = None
+                    self._merged[b] = 0
                 self._small = self._release(self._small, np.int32(b))
                 self._finish_pending.append([req, int(counts[b]), 0])
 
@@ -565,15 +651,20 @@ class SlotBatcher:
                     _stream_close(req, e)
                     req.done.set()
 
-        self._vocoder.submit(fetch)
+        self._winworker.submit(fetch)
+
+    def _pump_rows(self) -> list:
+        """Rows the window pump serves: every in-flight row in the legacy
+        all-pump mode, else only rows with a streaming consumer."""
+        return [r for r in self._slots
+                if r is not None and not r.harvested and not r.cancelled
+                and (self.windows or r.stream_q is not None)]
 
     def _pump_windows(self) -> None:
-        """Vocode one chunk for every in-flight row whose decoded frontier
+        """Vocode one chunk for every pumped row whose decoded frontier
         (lookahead-guarded) is a full chunk past what it has emitted."""
         jobs = []
-        for req in self._slots:
-            if req is None or req.harvested or req.cancelled:
-                continue
+        for req in self._pump_rows():
             frontier = 2 * max(req.count_seen - self.lookahead, 0)
             if frontier - req.emitted >= self.chunk:
                 jobs.append(req)
@@ -636,38 +727,43 @@ class SlotBatcher:
                 finally:
                     req.done.set()
 
-        self._vocoder.submit(assemble)
+        self._winworker.submit(assemble)
 
     def _flush_finishers_maybe(self, force: bool = False) -> None:
         """Dispatch the pooled finisher vocode when the batch is worth it.
 
-        Flush when: ``force`` (shutdown/idle — nothing to wait for), the
-        pool reached ``slot_finisher_batch`` rows, or the oldest row has
-        waited ``slot_finisher_wait_segs`` segments. Measured on v5e the
-        per-utterance vocode cost is 108/93/68/43 ms at B=1/2/4/8 — a
-        2-segment wait (~74 ms) that lifts B from 1 to 3-4 is a net win
-        under load while ``force``-on-idle keeps solo latency unchanged."""
+        PUMPED rows (streaming consumers, or every row in the legacy
+        all-pump mode) complete IMMEDIATELY through the window path — the
+        pump already emitted everything but the final partial window, so
+        pooling buys no batched-vocode gain and only delays the waiter.
+        The rest pool: flush when ``force`` (shutdown/idle — nothing to
+        wait for), the pool reached ``slot_finisher_batch`` rows, or the
+        oldest row has waited ``slot_finisher_wait_segs`` segments.
+        Measured on v5e the per-utterance vocode cost is 108/93/68/43 ms
+        at B=1/2/4/8 — a 2-segment wait (~74 ms) that lifts B from 1 to
+        3-4 is a net win under load while ``force``-on-idle keeps solo
+        latency unchanged."""
         pend = [e for e in self._finish_pending if not e[0].cancelled]
         for e in self._finish_pending:
             if e[0].cancelled and not e[0].done.is_set():
                 e[0].done.set()
+        win_pend = [e for e in pend
+                    if self.windows or e[0].stream_q is not None
+                    or e[0].emitted > 0]
+        win_ids = {id(e) for e in win_pend}   # identity, not == (dataclass
+        pend = [e for e in pend if id(e) not in win_ids]  # eq hits ndarrays)
         self._finish_pending = pend
+        if win_pend:
+            metrics.gauge("slot_finisher_rows", len(win_pend))
+            self._flush_finishers_windows(win_pend)
         if not pend:
             return
         oldest = max(e[2] for e in pend)
-        # windows mode: the pump already emitted everything but the final
-        # partial window (~20 ms at B=1) — pooling buys little batched
-        # vocode but costs up to wait_segs segments of completion latency
-        # AND keeps the slot's client from re-submitting (occupancy)
-        if not self.windows and not (
-                force or len(pend) >= self.cfg.slot_finisher_batch
+        if not (force or len(pend) >= self.cfg.slot_finisher_batch
                 or oldest >= self.cfg.slot_finisher_wait_segs):
             return
         self._finish_pending = []
         metrics.gauge("slot_finisher_rows", len(pend))
-        if self.windows:
-            self._flush_finishers_windows(pend)
-            return
         # pooled rows vocode as ONE batch. The DISPATCH half (which may
         # compile) runs here on the scheduler thread — XLA:CPU segfaults
         # when a compile races other threads' compute; workers only fetch
@@ -735,12 +831,19 @@ class SlotBatcher:
                         jax.random.PRNGKey(self._seg_counter), 0)
                     metrics.gauge("slot_occupancy", sum(
                         r is not None for r in self._slots))
+                    ctx_win, ring_win = self._pick_windows()
                     with metrics.timer("slot_segment"):
                         (self._kc, self._vc, self._ks, self._vs,
                          self._small, seg_tok) = \
                             self._decode_seg(self.char.t2s_params, self._kc,
                                              self._vc, self._ks, self._vs,
-                                             self._small, key)
+                                             self._small, key,
+                                             ctx_win=ctx_win,
+                                             ring_win=ring_win)
+                    for b, r in enumerate(self._slots):
+                        if r is not None:       # row advanced <= W merged keys
+                            self._merged[b] = min(self._merged[b] + self.W,
+                                                  r.max_steps)
                     dispatched = (seg_tok, self._small.done,
                                   self._small.counts, list(self._slots))
                 else:
@@ -763,9 +866,8 @@ class SlotBatcher:
                     for e in self._finish_pending:
                         e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
-                    if (self.windows
-                            and self._seg_counter % self.pump_every == 0):
-                        self._pump_windows()
+                    if self._seg_counter % self.pump_every == 0:
+                        self._pump_windows()   # no-op without pumped rows
                 pending = dispatched
                 # idle machine: every live row is harvested, so nothing is
                 # coming that could grow the finisher batch — flush now
@@ -793,6 +895,7 @@ class SlotBatcher:
                 _stream_close(req, e)
                 req.done.set()
             self._slots[b] = None
+            self._merged[b] = 0
         while True:
             try:
                 req = self._q.get_nowait()
@@ -803,6 +906,7 @@ class SlotBatcher:
             req.done.set()
 
     def _reset_state(self) -> None:
+        self._merged = [0] * self.n_slots
         state0 = slots_mod.init_slots(
             self.char.t2s_cfg, self.n_slots, self.sx, self.sp, self.ring,
             dtype=self.char.t2s_params["audio_embed"].dtype,

@@ -24,11 +24,15 @@ from genie_tts_tpu.runtime.engine import TTSEngine
 
 
 def main():
-    engine = TTSEngine(RuntimeConfig())
+    cfg = RuntimeConfig()
+    engine = TTSEngine(cfg)
     tcfg = T2SConfig()
     scfg = SamplingConfig()
     params = jax.jit(t2s.init_params, static_argnames=("cfg", "dtype"))(
         jax.random.PRNGKey(0), cfg=tcfg, dtype=jnp.bfloat16)
+    if cfg.t2s_int8:        # measure the SERVING default (int8 weights,
+        params = t2s.quantize_params(params)   # full layer unroll)
+    unroll = engine._unroll(tcfg)
     rng = np.random.default_rng(0)
 
     def run(B, n_steps, cache_extra, use_flash, reps=5):
@@ -37,7 +41,8 @@ def main():
         phones = rng.integers(1, 732, (B, Sx)).astype(np.int32)
         prompts = rng.integers(0, 1024, (B, Sp)).astype(np.int32)
         args = dict(max_steps=n_steps, cache_len=cache_len,
-                    min_steps=n_steps, use_flash=use_flash)
+                    min_steps=n_steps, use_flash=use_flash,
+                    layer_unroll=unroll)
         f = engine._generate_e2e
         # compile + 1 warm exec
         out = f(params, tcfg, scfg, jax.random.PRNGKey(0),

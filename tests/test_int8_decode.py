@@ -90,8 +90,9 @@ def test_layer_merge_matches_monolithic(monkeypatch):
     pos = jnp.arange(S)[None, :]
     rpos = pos - (SX + SP)
     age = jnp.mod(rh - 1 - rpos, RING)
-    kv_mask = ((pos < x_len[:, None])
-               | ((pos >= SX) & (pos < SX + p_len[:, None]))
+    # compacted-context semantics (prefill_join gathers text+prompt
+    # columns to the front): ctx valid = [0, x_len+p_len)
+    kv_mask = ((pos < (x_len + p_len)[:, None])
                | ((rpos >= 0) & (age < kws[:, None])))
 
     h_mono, kn_mono, vn_mono = t2s._layer_decode_buffered(

@@ -199,16 +199,41 @@ def test_synthesize_stream_pieces():
         assert np.isfinite(total).all()
 
 
-def test_synthesize_stream_degrades_without_windows():
-    """Windows off: the stream generator still completes (one blob)."""
-    sb, ref = _mk_batcher(False)
+def test_mixed_streaming_without_windows_flag():
+    """PER-ROW pump: with the machine-wide windows flag OFF, a streaming
+    request still yields incremental pieces while concurrent blocking
+    requests complete through the pooled finisher — streaming must not
+    require (or tax) the whole machine (the r3 windows-mode throughput
+    regression was machine-wide)."""
+    sb, ref = _mk_batcher(False, vocode_chunk=8, vocode_halo=2)
+    assert not sb.windows
     ph = np.arange(1, 6, dtype=np.int32)
     bert = np.zeros((len(ph), TCFG.bert_dim), np.float32)
-    pieces = list(sb.synthesize_stream(ref, ph, bert, timeout=300,
-                                       min_steps=12, max_steps=12))
+    hop = VCFG.hop_length
+    outs = {}
+
+    def stream_client():
+        outs["s"] = list(sb.synthesize_stream(ref, ph, bert, timeout=300,
+                                              min_steps=24, max_steps=24))
+
+    def block_client(i):
+        outs[i] = sb.synthesize(ref, ph, bert, timeout=300,
+                                min_steps=24, max_steps=24)
+
+    threads = [threading.Thread(target=stream_client)] + [
+        threading.Thread(target=block_client, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     sb.stop()
-    assert len(pieces) == 1
-    assert len(pieces[0]) == 2 * 12 * VCFG.hop_length
+    assert len(outs["s"]) >= 2, f"streamed {len(outs['s'])} pieces"
+    total = np.concatenate(outs["s"])
+    assert len(total) == 2 * 24 * hop
+    assert np.isfinite(total).all()
+    for i in range(2):
+        assert len(outs[i]) == 2 * 24 * hop
+        assert np.isfinite(outs[i]).all()
 
 
 def test_windows_multi_pump_assembly():

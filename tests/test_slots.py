@@ -188,6 +188,76 @@ def test_quantize_kv_columns_roundtrip_bound():
         grid * 0.031, rtol=1e-4, atol=1e-6)
 
 
+def test_slot_windowed_reads_match_full(params):
+    """Windowed KV reads (ctx_win/ring_win) == full-cache decode.
+
+    The window slices must expose exactly the visible key set: greedy
+    token streams are identical to the defaults (and so to t2s.generate,
+    via test_slot_solo_matches_generate). Covers windows smaller than
+    the buckets and the segment where the ring-read crosses a merge
+    boundary (keys_written > ring_win would be a scheduler bug; here
+    every window covers the live keys)."""
+    ids = np.array([3, 5, 7, 2, 11], np.int32)
+    prm = np.array([4, 5, 6], np.int32)
+    steps = 24
+
+    def run(ctx_win, ring_win):
+        state = slots.init_slots(CFG, 4, SX, SP, RING, dtype=jnp.float32)
+        state, tok0 = _join(params, state, 1,
+                            jnp.asarray(_pad_row(ids, SX))[None],
+                            jnp.array([5]),
+                            jnp.asarray(_pad_row(prm, SP))[None],
+                            jnp.array([3]), steps, steps)
+        got = [tok0]
+        for seg in range(RING // W):
+            state, seg_tok = slots.decode_segment(
+                params, state, jax.random.PRNGKey(100 + seg), CFG,
+                W, SX, SP, RING, ctx_win=ctx_win, ring_win=ring_win)
+            got.extend(np.asarray(seg_tok)[1])
+            if bool(np.asarray(state.done)[1]):
+                break
+        count = int(np.asarray(state.counts)[1])
+        return np.array(got[:count])
+
+    full = run(None, None)
+    assert len(full) == steps
+    # ctx window: 5 text + 3 prompt = 8 valid cols; window 16 covers them
+    np.testing.assert_array_equal(run(16, None), full)
+    # ring window == exactly the decoded length (tight)
+    np.testing.assert_array_equal(run(None, RING - W), full)
+    # both, tight-ish
+    np.testing.assert_array_equal(run(8, RING - W), full)
+
+
+def test_slot_windowed_ring_wrap(params):
+    """A long decode whose ring writes wrap: the backward window through
+    the doubled-ring second copy must still expose the last ring_win
+    writes. Decode RING tokens (head wraps to 0), windows < RING."""
+    ids = np.array([3, 5, 7, 2, 11], np.int32)
+    prm = np.array([4, 5, 6], np.int32)
+    steps = RING          # maximum: fills the whole ring
+
+    def run(ring_win):
+        state = slots.init_slots(CFG, 2, SX, SP, RING, dtype=jnp.float32)
+        state, tok0 = _join(params, state, 0,
+                            jnp.asarray(_pad_row(ids, SX))[None],
+                            jnp.array([5]),
+                            jnp.asarray(_pad_row(prm, SP))[None],
+                            jnp.array([3]), steps, steps)
+        got = [tok0]
+        for seg in range(RING // W):
+            # scheduler contract: window >= merged keys so far
+            win = max(ring_win, min((seg + 1) * W, RING))
+            state, seg_tok = slots.decode_segment(
+                params, state, jax.random.PRNGKey(7 + seg), CFG,
+                W, SX, SP, RING, ring_win=min(win, RING))
+            got.extend(np.asarray(seg_tok)[0])
+        count = int(np.asarray(state.counts)[0])
+        return np.array(got[:count])
+
+    np.testing.assert_array_equal(run(W), run(RING))
+
+
 def test_slot_kv_int8_machinery(params):
     """int8-KV slot machine: int8 caches + scales, sane greedy decode.
 
@@ -207,7 +277,7 @@ def test_slot_kv_int8_machinery(params):
                              kv_int8=True)
     assert state.k_cache.dtype == jnp.int8
     assert state.k_scale.shape == (CFG.num_layers, 4, CFG.num_heads,
-                                   SX + SP + RING)
+                                   SX + SP + 2 * RING)   # doubled ring
     state, tok0 = _join(params, state, 0,
                         jnp.asarray(_pad_row(ids, SX))[None], jnp.array([5]),
                         jnp.asarray(_pad_row(prm, SP))[None], jnp.array([3]),
