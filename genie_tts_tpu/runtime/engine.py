@@ -196,15 +196,21 @@ def _enable_persistent_compile_cache() -> None:
 
     if os.environ.get("GENIE_NO_COMPILE_CACHE"):
         return
-    platform = (os.environ.get("GENIE_PLATFORM")
-                or getattr(jax.config, "jax_platforms", None) or "auto")
-    if "cpu" in str(platform):
+    # Gate on the RESOLVED backend, not the jax_platforms string: plugin
+    # hosts list a cpu fallback after the accelerator (e.g. 'axon,cpu'),
+    # and a substring test silently disabled the cache on the TPU — the
+    # r3 49-second every-run cold start.
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - no devices at all
+        return
+    if backend == "cpu":
         return
     try:
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.path.expanduser(f"~/.cache/genie_tts_tpu_xla_{platform}"))
+                os.path.expanduser(f"~/.cache/genie_tts_tpu_xla_{backend}"))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - config name drift
         logger.debug("could not enable persistent compilation cache")
@@ -685,6 +691,15 @@ class TTSEngine:
         # fb >= win/2 so the window slice always fits the latent grid
         fb = pick_bucket(max(int(lens.max()), -(-win // 2)),
                          self.cfg.frame_buckets)
+        if int(lens.max()) > fb:
+            # a row decoded past the largest frame bucket: its window
+            # starts would advance beyond the bucketed latent and the
+            # fetch would return silently-truncated audio. Configs keep
+            # slot_ring <= max(frame_buckets); fail loudly if they drift.
+            raise ValueError(
+                f"window vocode row has {int(lens.max())} latent frames > "
+                f"largest frame bucket {fb}; raise frame_buckets or lower "
+                "slot_ring/max_steps")
         lens = np.minimum(lens, fb)
         codes_b = np.stack([pad_to(np.clip(c[:fb], 0, vcfg.vq_codes - 1)
                                    .astype(np.int32), fb)

@@ -130,9 +130,9 @@ def main():
               f"(decoder weights sharded: "
               f"{char_tp.t2s_params['layers']['qkv']['w'].sharding.spec})")
     else:
-        print("single device visible; run with "
+        print("need >= 4 devices for the dp=2 x tp=2 demo; run with "
               "XLA_FLAGS=--xla_force_host_platform_device_count=8 to try "
-              "dp/tp meshes")
+              "it on a virtual CPU mesh")
 
 
 if __name__ == "__main__":
