@@ -114,6 +114,9 @@ _VOWELS = frozenset("aiueo")
 _KANA_LEXICAL = [
     ("こんにちは", "こんにちわ"), ("こんばんは", "こんばんわ"),
     ("コンニチハ", "コンニチワ"), ("コンバンハ", "コンバンワ"),
+    # では is overwhelmingly the particle combination (copula では/
+    # location-topic では); as word-internal kana it is rare
+    ("では", "でわ"),
 ]
 
 
@@ -142,19 +145,95 @@ def _is_kanji(ch: str) -> bool:
             or 0xF900 <= cp <= 0xFAFF or 0x20000 <= cp <= 0x2FA1F)
 
 
+_JA_READINGS = None
+
+
+def _load_readings():
+    """(words, chars, max_word_len) from the bundled reading lexicon
+    (data/ja_readings.json — the JA analogue of data/pinyin_seed.json)."""
+    global _JA_READINGS
+    if _JA_READINGS is None:
+        import json
+        from pathlib import Path
+
+        path = Path(__file__).resolve().parent.parent / "data" / \
+            "ja_readings.json"
+        d = json.loads(path.read_text(encoding="utf-8"))
+        words, chars = d["words"], d["chars"]
+        _JA_READINGS = (words, chars, max(map(len, words)))
+    return _JA_READINGS
+
+
+def kanji_to_kana(text: str) -> str:
+    """Offline kanji -> kana via the bundled lexicon (longest match).
+
+    Word entries win over per-character fallbacks; the 々 iteration mark
+    repeats the previous character's reading; は/へ directly after a
+    kanji are read as the topic/direction particles (わ/え) — the usual
+    case when morphology is unavailable. Raises
+    :class:`UnreadableJapaneseError` listing any kanji outside the
+    lexicon (pyopenjtalk reads those; silently dropping them would
+    synthesize wrong audio).
+    """
+    words, chars, maxlen = _load_readings()
+    out: List[str] = []
+    unreadable = set()
+    last_char_reading = ""
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        matched = False
+        if _is_kanji(ch) or (i + 1 < n and _is_kanji(text[i + 1])):
+            for L in range(min(maxlen, n - i), 1, -1):
+                w = text[i:i + L]
+                if w in words and any(_is_kanji(c) for c in w):
+                    out.append(words[w])
+                    last_char_reading = ""
+                    i += L
+                    matched = True
+                    break
+        if matched:
+            continue
+        if ch == "々" and last_char_reading:
+            out.append(last_char_reading)
+            i += 1
+            continue
+        if _is_kanji(ch):
+            r = words.get(ch) or chars.get(ch)
+            if r is None:
+                unreadable.add(ch)
+            else:
+                out.append(r)
+                last_char_reading = r
+            i += 1
+            continue
+        last_char_reading = ""
+        if ch == "は" and i > 0 and _is_kanji(text[i - 1]):
+            out.append("わ")                  # topic particle after a noun
+        elif ch == "へ" and i > 0 and _is_kanji(text[i - 1]):
+            out.append("え")                  # direction particle
+        else:
+            out.append(ch)
+        i += 1
+    if unreadable:
+        raise UnreadableJapaneseError(
+            f"Japanese text contains kanji {''.join(sorted(unreadable)[:10])!r} "
+            "outside the bundled reading lexicon and pyopenjtalk is not "
+            "installed. Install pyopenjtalk-plus for full Japanese support, "
+            "or supply kana/romaji text.")
+    return "".join(out)
+
+
 def kana_to_phones(text: str) -> List[str]:
     """Transliterate a kana run to OpenJTalk-style phones (no prosody).
 
-    Raises :class:`UnreadableJapaneseError` on kanji (needs pyopenjtalk);
-    unknown non-ideograph symbols are dropped with a one-time warning."""
+    Kanji are first read through the bundled lexicon
+    (:func:`kanji_to_kana`; raises :class:`UnreadableJapaneseError` for
+    kanji it cannot read); unknown non-ideograph symbols are dropped
+    with a one-time warning."""
     global _warned_kanji
-    kanji = sorted({c for c in text if _is_kanji(c)})
-    if kanji:
-        raise UnreadableJapaneseError(
-            f"Japanese text contains kanji {''.join(kanji[:10])!r} but "
-            "pyopenjtalk is not installed, so readings cannot be derived. "
-            "Install pyopenjtalk-plus for full Japanese support, or supply "
-            "kana/romaji text.")
+    if any(_is_kanji(c) for c in text):
+        text = kanji_to_kana(text)
     for src, dst in _KANA_LEXICAL:
         if src in text:
             text = text.replace(src, dst)
@@ -206,7 +285,14 @@ def openjtalk_g2p_prosody(text: str) -> List[str]:
     fall ``]``, pitch rise ``[``, question ``?``, end ``$``), matching the
     reference's output symbol conventions.
     """
-    labels = pyopenjtalk.make_label(pyopenjtalk.run_frontend(text))
+    return labels_to_prosody(
+        pyopenjtalk.make_label(pyopenjtalk.run_frontend(text)))
+
+
+def labels_to_prosody(labels: List[str]) -> List[str]:
+    """Prosody extraction from HTS full-context labels (pyopenjtalk's
+    ``make_label`` output, or committed fixtures — the parser is pure so
+    it is testable without OpenJTalk in the image)."""
     out: List[str] = []
     n_labels = len(labels)
     for i, lab in enumerate(labels):
