@@ -234,6 +234,18 @@ class RuntimeConfig:
     use_flash_decode: bool = dataclasses.field(
         default_factory=lambda: os.environ.get(
             "GENIE_FLASH_DECODE", "0").lower() in ("1", "true", "on"))
+    # Folded (space-to-channel) HiFi-GAN tail: at character-load time the
+    # low-channel tail stages (C = 64/32/16/1, stages >= 2) are re-indexed
+    # into the folded domain (ops/folded.py + models/sovits.fold_decoder)
+    # with an extra input fold of ``hifi_fold`` phases, so every tail conv
+    # runs as a dense >=256-wide MXU matmul instead of a starved VPU conv.
+    # Pure weight re-indexing — bit-identical in exact arithmetic
+    # (tests/test_folded.py). Measured whole-hifigan on v5e at production
+    # geometry (scripts/exp_hifigan_folded.py): B=1 F=304 16.0 -> 9.9 ms,
+    # B=8 49.0 vs 62.5 ms. Applied on the TPU backend only (on CPU the
+    # fold's extra FLOPs lose). 0 disables; GENIE_HIFI_FOLD overrides.
+    hifi_fold: int = dataclasses.field(
+        default_factory=lambda: _env_int("GENIE_HIFI_FOLD", 2))
     # chunked HiFi-GAN vocoding: bounded memory + streaming TTFA. Halo must
     # exceed the generator's frame-level receptive field (~14 frames).
     vocode_chunk: int = 256           # latent frames per chunk (5.12 s audio;

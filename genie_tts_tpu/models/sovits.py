@@ -38,6 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SoVITSConfig
+from ..ops.folded import (conv_fold_meta, fold_conv_weights, fold_signal,
+                          fold_tconv_weights, folded_conv, tconv_fold_meta,
+                          unfold_signal)
 from ..ops.layers import (conv1d, conv1d_ncw, conv1d_ncw_shiftdot,
                           conv_transpose1d, conv_transpose1d_ncw)
 
@@ -267,6 +270,79 @@ def _resblock(p, x, kernel: int, dilations: Tuple[int, ...], mask_t):
     return x
 
 
+def _folded_resblock(p, x, kernel: int, dilations: Tuple[int, ...], r: int,
+                     mask_c):
+    """MRF residual block on a folded signal [B, r*C, M] (ops/folded.py).
+    Bit-equivalent to _resblock in exact arithmetic: every folded conv is
+    a pure re-indexing of the fine taps, and the coarse mask zeroes whole
+    columns exactly where the fine mask zeroes their r samples."""
+    for d, c1, c2 in zip(dilations, p["convs1"], p["convs2"]):
+        h = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        q0, _ = conv_fold_meta(kernel, d, (kernel * d - d) // 2, r)
+        h = folded_conv(c1, h, q0) * mask_c
+        h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+        q0, _ = conv_fold_meta(kernel, 1, (kernel - 1) // 2, r)
+        h = folded_conv(c2, h, q0) * mask_c
+        x = x + h
+    return x
+
+
+def fold_decoder(dec, cfg: SoVITSConfig, start_stage: int = 2,
+                 r0: int = 1):
+    """Re-index the HiFi-GAN tail weights into folded (space-to-channel)
+    form (ops/folded.py). Host-side, once per character load.
+
+    Stages ``start_stage..`` and conv_post are replaced by dense folded
+    weights ("fups"/"fresblocks"/"fpost"); the wide head stages keep the
+    fine layout. ``r0`` extra-folds the tail input (fold r0 at stage
+    ``start_stage``, growing by each stride), trading FLOPs for wider
+    MXU operands. All fold geometry is recoverable from static shapes at
+    trace time, so no non-array leaves enter the params pytree.
+    """
+    import numpy as np
+
+    if start_stage >= len(cfg.upsample_rates):
+        return dec          # nothing to fold (tiny/test geometries)
+    n_k = len(cfg.resblock_kernels)
+    out = {
+        "conv_pre": dec["conv_pre"], "cond": dec["cond"],
+        "ups": list(dec["ups"][:start_stage]),
+        "resblocks": list(dec["resblocks"][:start_stage * n_k]),
+    }
+    r = r0
+    fups, fres = [], []
+    for i in range(start_stage, len(cfg.upsample_rates)):
+        u, k = cfg.upsample_rates[i], cfg.upsample_kernels[i]
+        up = dec["ups"][i]
+        fups.append(fold_tconv_weights(
+            np.asarray(up["w"]), np.asarray(up["b"]) if "b" in up else None,
+            u, (k - u) // 2, r))
+        r *= u
+        for j in range(n_k):
+            rb = dec["resblocks"][i * n_k + j]
+            kern = cfg.resblock_kernels[j]
+            dils = cfg.resblock_dilations[j]
+            fres.append({
+                "convs1": [fold_conv_weights(
+                    np.asarray(c["w"]),
+                    np.asarray(c["b"]) if "b" in c else None,
+                    d, (kern * d - d) // 2, r)
+                    for c, d in zip(rb["convs1"], dils)],
+                "convs2": [fold_conv_weights(
+                    np.asarray(c["w"]),
+                    np.asarray(c["b"]) if "b" in c else None,
+                    1, (kern - 1) // 2, r)
+                    for c in rb["convs2"]],
+            })
+    cp = dec["conv_post"]
+    out["fpost"] = fold_conv_weights(
+        np.asarray(cp["w"]), np.asarray(cp["b"]) if "b" in cp else None,
+        1, 3, r)
+    out["fups"] = fups
+    out["fresblocks"] = fres
+    return jax.tree.map(jnp.asarray, out)
+
+
 def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
     """z [B,T,192] + ge [B,C_gin,1] -> waveform [B, T*hop].
 
@@ -277,6 +353,11 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
     ``frames_len`` [B]: valid latent frames per row; positions beyond are
     masked at every stage so conv biases in the pad region cannot bleed
     into valid samples.
+
+    If ``p`` carries folded tail weights ("fups", from fold_decoder), the
+    low-channel tail stages run in the folded domain: time phases move
+    into channels so every conv is a dense >=128-wide matmul on the MXU
+    instead of a starved VPU conv.
     """
     T = x.shape[1]
     if frames_len is None:
@@ -291,8 +372,11 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
     x = conv1d_ncw(p["conv_pre"], x, padding=3)
     x = (x + conv1d_ncw(p["cond"], ge.astype(x.dtype))) * mask
     n_k = len(cfg.resblock_kernels)
+    n_stages = len(cfg.upsample_rates)
+    start = n_stages - len(p["fups"]) if "fups" in p else n_stages
     scale = 1
-    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+    for i in range(start):
+        u, k = cfg.upsample_rates[i], cfg.upsample_kernels[i]
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = conv_transpose1d_ncw(p["ups"][i], x, stride=u, padding=(k - u) // 2)
         scale *= u
@@ -304,6 +388,37 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
                           cfg.resblock_kernels[j], cfg.resblock_dilations[j], mask)
             acc = r if acc is None else acc + r
         x = acc / n_k
+    if start < n_stages:
+        # folded tail — all geometry below is static (shapes/config only)
+        c_in = cfg.upsample_initial >> start
+        r = p["fups"][0]["w"].shape[1] // c_in     # = r0, statically
+        if r > 1:
+            x = fold_signal(x, r)
+        # coarse column count and valid-column count are invariant over
+        # the tail: each tconv scales fine length and fold by the same u.
+        cols_per_frame = scale // r
+        assert scale % r == 0
+        mask_c = (jnp.arange(x.shape[2])[None, None, :]
+                  < frames_len[:, None, None] * cols_per_frame).astype(x.dtype)
+        for i in range(start, n_stages):
+            u, k = cfg.upsample_rates[i], cfg.upsample_kernels[i]
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            q0, _ = tconv_fold_meta(k, u, (k - u) // 2, r)
+            x = folded_conv(p["fups"][i - start], x, q0) * mask_c
+            r *= u
+            acc = None
+            for j in range(n_k):
+                rr = _folded_resblock(
+                    p["fresblocks"][(i - start) * n_k + j], x,
+                    cfg.resblock_kernels[j], cfg.resblock_dilations[j],
+                    r, mask_c)
+                acc = rr if acc is None else acc + rr
+            x = acc / n_k
+        x = jax.nn.leaky_relu(x, 0.01)             # torch-default slope
+        q0, _ = conv_fold_meta(7, 1, 3, r)
+        x = folded_conv(p["fpost"], x, q0) * mask_c
+        x = unfold_signal(x, r)                    # [B, 1, T*hop]
+        return jnp.tanh(x.astype(jnp.float32))[:, 0, :]
     # final activation uses the torch default slope 0.01, not LRELU_SLOPE —
     # verified against the reference graph (vits_fp32.onnx node
     # /vq_model/dec/LeakyRelu_5, alpha=0.01; HiFi-GAN's F.leaky_relu(x))

@@ -107,15 +107,27 @@ class ModelManager:
             from ..models.t2s import quantize_params
 
             t2s_params = quantize_params(t2s_params)
+        sovits_cfg = _cfg(
+            SoVITSConfig, cfg.get("sovits"), version=version,
+            gin_channels=1024 if version == "v2ProPlus" else 512)
+        sovits_params = load_params(path / "vits.safetensors")
+        import jax
+
+        if self.cfg.hifi_fold and jax.default_backend() == "tpu":
+            # fold the HiFi-GAN tail into space-to-channel form so its
+            # low-channel convs run on the MXU (config.hifi_fold docs)
+            from ..models.sovits import fold_decoder
+
+            sovits_params["dec"] = fold_decoder(
+                sovits_params["dec"], sovits_cfg, start_stage=2,
+                r0=self.cfg.hifi_fold)
         with self._lock:
             model = CharacterModel(
                 name=name, language=language, version=version,
                 t2s_params=t2s_params,
-                sovits_params=load_params(path / "vits.safetensors"),
+                sovits_params=sovits_params,
                 t2s_cfg=_cfg(T2SConfig, cfg.get("t2s")),
-                sovits_cfg=_cfg(
-                    SoVITSConfig, cfg.get("sovits"), version=version,
-                    gin_channels=1024 if version == "v2ProPlus" else 512),
+                sovits_cfg=sovits_cfg,
                 prompt_encoder_params=(
                     load_params(path / "prompt_encoder.safetensors")
                     if version == "v2ProPlus" else None),
