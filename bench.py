@@ -159,6 +159,11 @@ def _install_watchdog(result_holder):
     signal.alarm(budget)
 
 
+
+def _stage(msg):
+    import sys, time as _t
+    print(f"# [{_t.strftime('%H:%M:%S')}] stage: {msg}", file=sys.stderr, flush=True)
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -219,6 +224,7 @@ def main():
             char, ref, phones, bert, sampling=scfg, seed=seed,
             min_steps=min_steps, max_steps=min_steps + 56, pcm16=True)
 
+    _stage("warmup/compile")
     # ---- warmup: compile every (phoneme-bucket x min_steps) graph the
     # suite will hit — exactly what engine.warmup's bucket sweep does for a
     # server. The fused-path graph keys on (x_bucket, t_bucket, steps);
@@ -249,6 +255,7 @@ def main():
                 pass
     compile_s = time.perf_counter() - t0
 
+    _stage("headline")
     # ---- headline: 100 EOS-terminated utterances, variable lengths
     lat, audio_s = [], []
     t0 = time.perf_counter()
@@ -270,6 +277,7 @@ def main():
         "extra": {"partial": True, "rtf": round(rtf, 4)},
     }
 
+    _stage("solo TTFA")
     # ---- TTFA through the intra-utterance streaming path (the serving
     # metric that matters for interactivity)
     import os as _os
@@ -300,6 +308,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# ttfa stage skipped: {e}", file=sys.stderr)
 
+    _stage("batched B=8")
     # ---- batched B=8 (continuous-batching steady state), EOS-terminated
     batched_utt_per_sec = batched_rtf = None
     try:
@@ -323,6 +332,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# batched stage skipped: {e}", file=sys.stderr)
 
+    _stage("serving6")
     # ---- concurrent serving through the ContinuousBatcher (6 clients)
     serving_utt_per_sec = serving_p50_ms = None
     try:
@@ -375,6 +385,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# serving stage skipped: {e}", file=sys.stderr)
 
+    _stage("slots6")
     # ---- in-flight slot serving (the default /tts path): 6 clients whose
     # requests JOIN the persistent decode machine between ~32-step segments
     slots_utt_per_sec = slots_p50_ms = slots_occupancy = None
@@ -425,6 +436,7 @@ def main():
         slot_b = None
         print(f"# slot serving stage skipped: {e}", file=sys.stderr)
 
+    _stage("slots6 streaming TTFA")
     # ---- TTFA UNDER LOAD: 6 concurrent STREAMING clients through the
     # slot machine (per-row window pump). The serving promise is first
     # audio in <150 ms while the chip is saturated — solo-stream TTFA
@@ -471,6 +483,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# slot streaming TTFA stage skipped: {e}", file=sys.stderr)
 
+    _stage("open-loop")
     # ---- open-loop (staggered arrivals, ~6.7 req/s offered): the join-
     # latency showcase — a window batch makes arrivals wait out the batch
     # in flight; slot joins land at the next ~32-step segment
@@ -525,6 +538,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# open-loop stage skipped: {e}", file=sys.stderr)
 
+    _stage("decode probe")
     # ---- steady-state decode ms/step at full occupancy (honest timing:
     # chain donated segment dispatches, fetch data once — block_until_ready
     # returns early on donated chains on tunneled backends)
