@@ -265,6 +265,13 @@ class RuntimeConfig:
     # streaming: the FIRST chunk is smaller so first audio lands sooner
     # (0.96 s of audio; its vocode window is first+halo frames)
     stream_first_chunk: int = 48
+    # slot streaming (runtime/slot_batcher.py window pump): a streaming
+    # row's FIRST piece is this many latent frames (0.64 s audio) and the
+    # pump is checked every segment until it lands, so TTFA under load is
+    # decode-bound (~first_piece/2 + lookahead steps) instead of waiting
+    # for a full vocode_chunk (256 frames = 136 steps, which made
+    # under-load TTFA ~= completion latency). 0 restores the chunk rule.
+    slot_first_piece: int = 32
     # SEGMENTED streaming (runtime/stream.py): decode runs as W-step
     # segments on a solo slot machine and audio windows vocode from the
     # prefix of decoded codes — TTFA becomes length-INDEPENDENT (~W codes

@@ -297,6 +297,7 @@ class SlotBatcher:
         self.win = self.chunk + 2 * self.halo
         self.win_small = self.chunk // 2 + 2 * self.halo
         self.lookahead = self.cfg.stream_lookahead
+        self.first_piece = self.cfg.slot_first_piece
         self.pump_every = max(1, (self.chunk // 2) // self.W)
 
         self._reset_state()
@@ -662,18 +663,25 @@ class SlotBatcher:
 
     def _pump_windows(self) -> None:
         """Vocode one chunk for every pumped row whose decoded frontier
-        (lookahead-guarded) is a full chunk past what it has emitted."""
+        (lookahead-guarded) is a full chunk past what it has emitted.
+        A streaming row's FIRST piece is the small ``first_piece`` window
+        instead (TTFA under load becomes decode-bound; the scheduler pumps
+        every segment until it lands)."""
         jobs = []
         for req in self._pump_rows():
             frontier = 2 * max(req.count_seen - self.lookahead, 0)
-            if frontier - req.emitted >= self.chunk:
-                jobs.append(req)
+            if (self.first_piece and req.emitted == 0
+                    and req.stream_q is not None):
+                if frontier >= self.first_piece:
+                    jobs.append((req, self.first_piece))
+            elif frontier - req.emitted >= self.chunk:
+                jobs.append((req, self.chunk))
         if not jobs:
             return
-        self._fetch_tok0(jobs)
+        self._fetch_tok0([req for req, _ in jobs])
         self._dispatch_windows([
             (req, self._codes_so_far(req, req.count_seen), req.count_seen,
-             req.emitted, self.chunk) for req in jobs])
+             req.emitted, width) for req, width in jobs])
 
     def _flush_finishers_windows(self, pend) -> None:
         """Windows-mode completion: vocode only the REMAINDER of each
@@ -866,7 +874,12 @@ class SlotBatcher:
                     for e in self._finish_pending:
                         e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
-                    if self._seg_counter % self.pump_every == 0:
+                    # pump on the chunk cadence — or every segment while a
+                    # streaming row still owes its first (small) piece
+                    if (self._seg_counter % self.pump_every == 0
+                            or (self.first_piece and any(
+                                r.emitted == 0 and r.stream_q is not None
+                                for r in self._pump_rows()))):
                         self._pump_windows()   # no-op without pumped rows
                 pending = dispatched
                 # idle machine: every live row is harvested, so nothing is
