@@ -87,13 +87,23 @@ class TestFlacGate:
 
 
 class TestKanjiFailureSurface:
-    def test_kana_fallback_rejects_kanji(self):
+    def test_kana_fallback_reads_lexicon_kanji(self):
+        """In-lexicon kanji now synthesize offline (ja_readings.json)."""
         from genie_tts_tpu.frontend import g2p_ja
 
         if g2p_ja.has_openjtalk():
             pytest.skip("pyopenjtalk present; fallback not used")
+        ids = g2p_ja.japanese_to_phones("日本語のテスト")
+        assert len(ids) > 5
+
+    def test_kana_fallback_rejects_unknown_kanji(self):
+        from genie_tts_tpu.frontend import g2p_ja
+
+        if g2p_ja.has_openjtalk():
+            pytest.skip("pyopenjtalk present; fallback not used")
+        # 薔/鬱 are outside the bundled lexicon: must fail loudly, never drop.
         with pytest.raises(g2p_ja.UnreadableJapaneseError, match="pyopenjtalk"):
-            g2p_ja.japanese_to_phones("日本語のテスト")
+            g2p_ja.japanese_to_phones("薔薇と鬱のテスト")
 
     def test_kana_only_still_works(self):
         from genie_tts_tpu.frontend import g2p_ja
