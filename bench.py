@@ -183,6 +183,32 @@ def main():
     backend = jax.default_backend()
     cfg = RuntimeConfig()
     engine = TTSEngine(cfg)
+
+    def _calibrate():
+        """Fixed-work device probes anchoring round-over-round variance:
+        a 2048^3 bf16 matmul (MXU roofline) and a 256 MB copy (HBM +
+        tunnel overhead). Same binaries have measured 25-35% apart across
+        bench sessions (PARITY.md); these numbers let a reader normalize
+        the headline metrics against the session's actual device/host
+        speed instead of guessing."""
+        a = jnp.ones((2048, 2048), jnp.bfloat16)
+        mm = jax.jit(lambda a: a @ a)
+        cp = jax.jit(lambda x: x + 1)
+        big = jnp.ones((128, 1024, 1024), jnp.bfloat16)  # 256 MB
+        jax.block_until_ready((mm(a), cp(big)))
+        mm_ts, cp_ts = [], []
+        for _ in range(10):
+            t0 = time.perf_counter(); jax.block_until_ready(mm(a))
+            mm_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); jax.block_until_ready(cp(big))
+            cp_ts.append(time.perf_counter() - t0)
+        return {
+            "matmul2048_ms": round(float(np.median(mm_ts)) * 1e3, 3),
+            "hbm_copy256mb_ms": round(float(np.median(cp_ts)) * 1e3, 3),
+        }
+
+    calib = _calibrate()
+    print(f"# calib: {calib}", file=sys.stderr, flush=True)
     if os.environ.get("GENIE_BENCH_TINY"):  # CPU smoke: exercise every
         # stage of this script quickly; numbers are meaningless
         tcfg = T2SConfig(embed_dim=64, num_layers=2, num_heads=4,
@@ -350,10 +376,10 @@ def main():
         def client(cid):
             for j in range(N_REQ):
                 s = suite[(cid * N_REQ + j) % len(suite)]
-                ph = phones_cache[s]
-                bert = np.zeros((len(ph), tcfg.bert_dim), np.float32)
-                t1 = time.perf_counter()
-                batcher.synthesize(char, ref, ph, bert, sampling=scfg,
+                t1 = time.perf_counter()   # G2P inside the timed request,
+                ph = np.asarray(japanese_to_phones(s), np.int32)  # same
+                bert = np.zeros((len(ph), tcfg.bert_dim), np.float32)  # as
+                batcher.synthesize(char, ref, ph, bert, sampling=scfg,  # slots6
                                    timeout=600, max_steps=206, min_steps=150)
                 with lat_lock:
                     req_lat.append(time.perf_counter() - t1)

@@ -303,6 +303,13 @@ def fold_decoder(dec, cfg: SoVITSConfig, start_stage: int = 2,
 
     if start_stage >= len(cfg.upsample_rates):
         return dec          # nothing to fold (tiny/test geometries)
+    head_scale = int(np.prod(cfg.upsample_rates[:start_stage]))
+    if r0 < 1 or head_scale % r0 != 0:
+        raise ValueError(
+            f"GENIE_HIFI_FOLD={r0} is invalid: the extra tail fold must be "
+            f">=1 and divide the head-stage scale {head_scale} "
+            f"(= prod of upsample_rates[:{start_stage}] = "
+            f"{tuple(cfg.upsample_rates[:start_stage])})")
     n_k = len(cfg.resblock_kernels)
     out = {
         "conv_pre": dec["conv_pre"], "cond": dec["cond"],
@@ -335,9 +342,13 @@ def fold_decoder(dec, cfg: SoVITSConfig, start_stage: int = 2,
                     for c in rb["convs2"]],
             })
     cp = dec["conv_post"]
+    k_post = int(np.asarray(cp["w"]).shape[0])
     out["fpost"] = fold_conv_weights(
         np.asarray(cp["w"]), np.asarray(cp["b"]) if "b" in cp else None,
-        1, 3, r)
+        1, (k_post - 1) // 2, r)
+    # keep the fine conv_post weights so the forward can recover the fold
+    # geometry (kernel/padding) from static shapes instead of hardcoding it
+    out["conv_post"] = dec["conv_post"]
     out["fups"] = fups
     out["fresblocks"] = fres
     return jax.tree.map(jnp.asarray, out)
@@ -415,7 +426,8 @@ def hifigan(p, x, ge, cfg: SoVITSConfig, frames_len=None):
                 acc = rr if acc is None else acc + rr
             x = acc / n_k
         x = jax.nn.leaky_relu(x, 0.01)             # torch-default slope
-        q0, _ = conv_fold_meta(7, 1, 3, r)
+        k_post = p["conv_post"]["w"].shape[0]      # fine kernel, static
+        q0, _ = conv_fold_meta(k_post, 1, (k_post - 1) // 2, r)
         x = folded_conv(p["fpost"], x, q0) * mask_c
         x = unfold_signal(x, r)                    # [B, 1, T*hop]
         return jnp.tanh(x.astype(jnp.float32))[:, 0, :]

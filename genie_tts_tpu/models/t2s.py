@@ -438,6 +438,7 @@ def generate(
     use_flash: bool = False,
     layer_unroll: int = 1,
     max_steps_dyn=None,
+    solo_buffered: bool = True,
 ) -> GenerateResult:
     """Prefill + sample + full AR decode in one XLA program.
 
@@ -454,13 +455,25 @@ def generate(
     (ops/flash_decode.py; TPU only).
     ``layer_unroll``: unroll factor of the per-step layer scan. Measured
     runtime-neutral on v5e at B<=8 while multiplying compile time, so the
-    default stays 1; exposed for larger-batch tuning."""
+    default stays 1; exposed for larger-batch tuning.
+    ``solo_buffered``: route B=1 through the write-buffered KV path (the
+    default; 0.328 vs 0.477 ms/step on v5e at serving knobs). False keeps
+    the legacy per-step cache-update loop (parity escape hatch)."""
     ms_dyn = max_steps if max_steps_dyn is None else (
         jnp.minimum(jnp.asarray(max_steps_dyn, jnp.int32), max_steps))
     B, Sx, D = x.shape
     Sp = prompts.shape[1]
     H, L, V = cfg.num_heads, cfg.num_layers, cfg.semantic_vocab
     Dh = cfg.head_dim
+
+    if not ((B == 1 and not solo_buffered) or use_flash):
+        # Buffered path: the per-segment merge copies a whole W-wide buffer
+        # into the big cache, so the decode region must be a (nonzero)
+        # multiple of the write-chunk width or the dynamic_update_slice
+        # fails at trace time for tiny max_steps/cache_len. Pad up; the
+        # extra columns stay masked out of attention.
+        dec_region = max(cache_len - Sx - Sp, 1)
+        cache_len = Sx + Sp + -(-dec_region // _WRITE_CHUNK) * _WRITE_CHUNK
 
     logits0, (k_cache, v_cache) = prefill(params, cfg, x, x_len, prompts, p_len, cache_len)
     if not use_flash:
@@ -526,11 +539,14 @@ def generate(
         done = done | now_done | (step + 1 >= ms_dyn)
         return done, tokens, counts, hist
 
-    if B == 1 or use_flash:
+    if (B == 1 and not solo_buffered) or use_flash:
         # Solo/flash path: per-step dynamic_update_slice into the cache.
-        # Mosaic copies the cache buffer on the lane-column update, but at
-        # B=1 that copy is cheap and the buffered path's extra per-layer
-        # ops cost slightly more (measured 0.347 vs 0.359 ms/step).
+        # Mosaic copies the cache buffer on the lane-column update. At the
+        # serving knobs (int8 weights, full layer unroll, 24L/512) that
+        # copy is NOT cheap even at B=1 — measured 0.477 vs 0.328 ms/step
+        # carry vs buffered (scripts/exp_solo_buffered.py, v5e) — so B=1
+        # defaults to the buffered path below; this branch serves the
+        # Pallas flash kernel and the explicit solo_buffered=False escape.
         def cond(carry):
             step, done, *_ = carry
             return (step < ms_dyn) & ~jnp.all(done)

@@ -297,7 +297,9 @@ class SlotBatcher:
         self.win = self.chunk + 2 * self.halo
         self.win_small = self.chunk // 2 + 2 * self.halo
         self.lookahead = self.cfg.stream_lookahead
-        self.first_piece = self.cfg.slot_first_piece
+        # the first-piece window must fit the large pump window; larger
+        # configs would silently truncate the emitted audio at fetch time
+        self.first_piece = min(self.cfg.slot_first_piece, self.chunk)
         self.pump_every = max(1, (self.chunk // 2) // self.W)
 
         self._reset_state()
@@ -621,7 +623,10 @@ class SlotBatcher:
         for w in (self.win_small, self.win):
             if need <= w:
                 return w
-        return self.win
+        raise ValueError(
+            f"no vocode window covers width+halo={need} frames "
+            f"(windows: {self.win_small}, {self.win}); job widths must be "
+            f"clamped to vocode_chunk={self.chunk}")
 
     def _dispatch_windows(self, jobs) -> None:
         """One batched latent + window vocode for ``jobs`` = [(req, codes,
@@ -661,12 +666,15 @@ class SlotBatcher:
                 if r is not None and not r.harvested and not r.cancelled
                 and (self.windows or r.stream_q is not None)]
 
-    def _pump_windows(self) -> None:
+    def _pump_windows(self, first_only: bool = False) -> None:
         """Vocode one chunk for every pumped row whose decoded frontier
         (lookahead-guarded) is a full chunk past what it has emitted.
         A streaming row's FIRST piece is the small ``first_piece`` window
         instead (TTFA under load becomes decode-bound; the scheduler pumps
-        every segment until it lands)."""
+        every segment until it lands). ``first_only`` (the off-cadence
+        per-segment pump) serves ONLY rows awaiting that first piece, so
+        unrelated rows keep their chunk dispatches on the pump_every
+        cadence in well-batched vocode calls."""
         jobs = []
         for req in self._pump_rows():
             frontier = 2 * max(req.count_seen - self.lookahead, 0)
@@ -674,7 +682,8 @@ class SlotBatcher:
                     and req.stream_q is not None):
                 if frontier >= self.first_piece:
                     jobs.append((req, self.first_piece))
-            elif frontier - req.emitted >= self.chunk:
+            elif (not first_only
+                  and frontier - req.emitted >= self.chunk):
                 jobs.append((req, self.chunk))
         if not jobs:
             return
@@ -875,12 +884,14 @@ class SlotBatcher:
                         e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
                     # pump on the chunk cadence — or every segment while a
-                    # streaming row still owes its first (small) piece
-                    if (self._seg_counter % self.pump_every == 0
+                    # streaming row still owes its first (small) piece, in
+                    # which case ONLY first-piece jobs run off-cadence
+                    on_cadence = self._seg_counter % self.pump_every == 0
+                    if (on_cadence
                             or (self.first_piece and any(
                                 r.emitted == 0 and r.stream_q is not None
                                 for r in self._pump_rows()))):
-                        self._pump_windows()   # no-op without pumped rows
+                        self._pump_windows(first_only=not on_cadence)
                 pending = dispatched
                 # idle machine: every live row is harvested, so nothing is
                 # coming that could grow the finisher batch — flush now

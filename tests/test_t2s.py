@@ -208,20 +208,28 @@ def test_buffered_batched_decode_matches_solo(params):
     bert = jnp.zeros((6, CFG.bert_dim))
     steps = 40  # > 2 write-chunk segments so merges + buffer masks are hit
 
-    def run(ids_rows, x_lens, p_lens):
+    def run(ids_rows, x_lens, p_lens, solo_buffered=True):
         ids_b = jnp.stack(ids_rows)
         B = ids_b.shape[0]
         x = t2s.embed_text(params, ids_b, jnp.stack([bert] * B))
         res = t2s.generate(
             params, CFG, greedy, jax.random.PRNGKey(0), x,
             jnp.array(x_lens), jnp.stack([prm] * B), jnp.array(p_lens),
-            max_steps=steps, cache_len=6 + 4 + steps, min_steps=steps)
+            max_steps=steps, cache_len=6 + 4 + steps, min_steps=steps,
+            solo_buffered=solo_buffered)
         return np.asarray(res.tokens), np.asarray(res.counts)
 
     tok_b, cnt_b = run([idsA, idsB], [4, 6], [3, 4])
-    tok_a, cnt_a = run([idsA], [4], [3])
-    tok_bb, cnt_bb = run([idsB], [6], [4])
+    # solo_buffered=False pins the legacy per-step-update loop so the two
+    # implementations stay compared (B=1 defaults to buffered now)
+    tok_a, cnt_a = run([idsA], [4], [3], solo_buffered=False)
+    tok_bb, cnt_bb = run([idsB], [6], [4], solo_buffered=False)
     assert int(cnt_b[0]) == int(cnt_a[0])
     assert int(cnt_b[1]) == int(cnt_bb[0])
     np.testing.assert_array_equal(tok_b[0, : cnt_b[0]], tok_a[0, : cnt_a[0]])
     np.testing.assert_array_equal(tok_b[1, : cnt_b[1]], tok_bb[0, : cnt_bb[0]])
+    # and the new B=1 default (buffered) must match the legacy solo loop
+    tok_a1, cnt_a1 = run([idsA], [4], [3])
+    assert int(cnt_a1[0]) == int(cnt_a[0])
+    np.testing.assert_array_equal(tok_a1[0, : cnt_a1[0]],
+                                  tok_a[0, : cnt_a[0]])
