@@ -149,8 +149,11 @@ _JA_READINGS = None
 
 
 def _load_readings():
-    """(words, chars, max_word_len) from the bundled reading lexicon
-    (data/ja_readings.json — the JA analogue of data/pinyin_seed.json)."""
+    """(words, chars, accents, max_word_len) from the bundled reading
+    lexicon (data/ja_readings.json — the JA analogue of
+    data/pinyin_seed.json). ``accents`` maps a subset of the words to
+    their standard Tokyo pitch-accent type (mora index of the accent
+    nucleus, 0 = heiban); words without an entry synthesize heiban."""
     global _JA_READINGS
     if _JA_READINGS is None:
         import json
@@ -160,7 +163,8 @@ def _load_readings():
             "ja_readings.json"
         d = json.loads(path.read_text(encoding="utf-8"))
         words, chars = d["words"], d["chars"]
-        _JA_READINGS = (words, chars, max(map(len, words)))
+        _JA_READINGS = (words, chars, d.get("accents", {}),
+                        max(map(len, words)))
     return _JA_READINGS
 
 
@@ -175,8 +179,23 @@ def kanji_to_kana(text: str) -> str:
     lexicon (pyopenjtalk reads those; silently dropping them would
     synthesize wrong audio).
     """
-    words, chars, maxlen = _load_readings()
+    return _kanji_to_kana_spans(text)[0]
+
+
+def _kanji_to_kana_spans(text: str):
+    """:func:`kanji_to_kana` plus accent-phrase spans.
+
+    Returns ``(kana, spans)`` where ``spans`` is a sorted list of
+    ``(kana_start_index, accent_type_or_None)`` — one entry per lexicon
+    *word* match (the fallback's stand-in for a content word). Particles
+    and okurigana after a word extend its phrase, which is what makes an
+    odaka word + particle fall correctly (e.g. 花が -> はな]が).
+    Per-character readings of unknown compounds do NOT open new phrases
+    (char-by-char phrase breaks would shred the contour)."""
+    words, chars, accents, maxlen = _load_readings()
     out: List[str] = []
+    spans: List[tuple] = []
+    pos = 0
     unreadable = set()
     last_char_reading = ""
     i, n = 0, len(text)
@@ -187,7 +206,9 @@ def kanji_to_kana(text: str) -> str:
             for L in range(min(maxlen, n - i), 1, -1):
                 w = text[i:i + L]
                 if w in words and any(_is_kanji(c) for c in w):
+                    spans.append((pos, accents.get(w)))
                     out.append(words[w])
+                    pos += len(words[w])
                     last_char_reading = ""
                     i += L
                     matched = True
@@ -196,14 +217,20 @@ def kanji_to_kana(text: str) -> str:
             continue
         if ch == "々" and last_char_reading:
             out.append(last_char_reading)
+            pos += len(last_char_reading)
             i += 1
             continue
         if _is_kanji(ch):
-            r = words.get(ch) or chars.get(ch)
+            r = words.get(ch)
+            if r is not None:               # single-kanji content word
+                spans.append((pos, accents.get(ch)))
+            else:
+                r = chars.get(ch)
             if r is None:
                 unreadable.add(ch)
             else:
                 out.append(r)
+                pos += len(r)
                 last_char_reading = r
             i += 1
             continue
@@ -214,6 +241,7 @@ def kanji_to_kana(text: str) -> str:
             out.append("え")                  # direction particle
         else:
             out.append(ch)
+        pos += 1
         i += 1
     if unreadable:
         raise UnreadableJapaneseError(
@@ -221,44 +249,38 @@ def kanji_to_kana(text: str) -> str:
             "outside the bundled reading lexicon and pyopenjtalk is not "
             "installed. Install pyopenjtalk-plus for full Japanese support, "
             "or supply kana/romaji text.")
-    return "".join(out)
+    return "".join(out), spans
 
 
-def kana_to_phones(text: str) -> List[str]:
-    """Transliterate a kana run to OpenJTalk-style phones (no prosody).
+def _kana_to_morae(chars: List[str]) -> List[tuple]:
+    """Hiragana characters -> morae as ``(char_index, [phones])``.
 
-    Kanji are first read through the bundled lexicon
-    (:func:`kanji_to_kana`; raises :class:`UnreadableJapaneseError` for
-    kanji it cannot read); unknown non-ideograph symbols are dropped
-    with a one-time warning."""
+    One mora per (C)V unit, palatal/foreign digraph, っ (``cl``), ん
+    (``N``) or long-vowel mark; unknown symbols are dropped with a
+    one-time warning. The char index lets accent-phrase spans (kana
+    string offsets) map onto mora positions."""
     global _warned_kanji
-    if any(_is_kanji(c) for c in text):
-        text = kanji_to_kana(text)
-    for src, dst in _KANA_LEXICAL:
-        if src in text:
-            text = text.replace(src, dst)
-    chars = [_to_hiragana(c) for c in text]
-    phones: List[str] = []
+    morae: List[tuple] = []
     i = 0
     while i < len(chars):
         ch = chars[i]
         nxt = chars[i + 1] if i + 1 < len(chars) else ""
         if ch in _PALATAL_ONSET and nxt in _SMALL_Y:
-            phones.extend([_PALATAL_ONSET[ch], _SMALL_Y[nxt]])
+            morae.append((i, [_PALATAL_ONSET[ch], _SMALL_Y[nxt]]))
             i += 2
             continue
         if ch in _FOREIGN_ONSET and nxt in _SMALL_VOWEL:
-            phones.extend([_FOREIGN_ONSET[ch], _SMALL_VOWEL[nxt]])
+            morae.append((i, [_FOREIGN_ONSET[ch], _SMALL_VOWEL[nxt]]))
             i += 2
             continue
         if ch == "ー":  # long-vowel mark: repeat previous vowel
-            if phones and phones[-1] in _VOWELS:
-                phones.append(phones[-1])
+            if morae and morae[-1][1][-1] in _VOWELS:
+                morae.append((i, [morae[-1][1][-1]]))
             i += 1
             continue
         seq = _KANA_BASE.get(ch)
         if seq is not None:
-            phones.extend(seq.split())
+            morae.append((i, seq.split()))
         elif not _warned_kanji:
             _warned_kanji = True
             logger.warning(
@@ -266,7 +288,77 @@ def kana_to_phones(text: str) -> List[str]:
                 "for full kanji support); dropping such characters.", ch
             )
         i += 1
-    return phones
+    return morae
+
+
+def _emit_prosody(morae: List[tuple], spans: List[tuple]) -> List[str]:
+    """Insert prosody marks into a mora sequence from accent-phrase spans.
+
+    Mirrors the HTS-label extraction in :func:`labels_to_prosody` (the
+    reference algorithm, ``JapaneseG2P.py:64-100``) on the fallback's
+    approximate phrase segmentation: within a phrase of ``n`` morae with
+    accent type ``a`` (0 = heiban), after mora ``j`` emit
+
+    * ``]`` (pitch fall) when ``j == a`` and ``j < n`` — the label
+      condition ``a1==0 and a2_next==a2+1 and a2!=f1``;
+    * else ``[`` (pitch rise) when ``j == 1`` and ``n >= 2`` — the label
+      condition ``a2==1 and a2_next==2``;
+
+    and ``#`` between phrases (``a3==1 and a2_next==1``). Mora-final
+    phones here are always vowels/N/cl, so the label path's phone-class
+    guard on ``#`` is vacuous."""
+    bounds = list(spans)
+    if not bounds or bounds[0][0] != 0:
+        bounds.insert(0, (0, None))
+    phrases: List[tuple] = []          # (accent, [[phones], ...])
+    cur: List[List[str]] = []
+    si = 0
+    for idx, phs in morae:
+        while si + 1 < len(bounds) and idx >= bounds[si + 1][0]:
+            if cur:
+                phrases.append((bounds[si][1], cur))
+                cur = []
+            si += 1
+        cur.append(phs)
+    if cur:
+        phrases.append((bounds[si][1], cur))
+    out: List[str] = []
+    for pi, (accent, ms) in enumerate(phrases):
+        a = 0 if accent is None else accent
+        n = len(ms)
+        for j, m in enumerate(ms, 1):
+            out.extend(m)
+            if a >= 1 and j == a and j < n:
+                out.append("]")
+            elif j == 1 and n >= 2:
+                out.append("[")
+        if pi < len(phrases) - 1:
+            out.append("#")
+    return out
+
+
+def kana_to_phones(text: str, prosody: bool = False) -> List[str]:
+    """Transliterate a kana run to OpenJTalk-style phones.
+
+    Kanji are first read through the bundled lexicon
+    (:func:`kanji_to_kana`; raises :class:`UnreadableJapaneseError` for
+    kanji it cannot read); unknown non-ideograph symbols are dropped
+    with a one-time warning. With ``prosody=True`` pitch-accent marks
+    (``[``/``]``/``#``) are emitted from the lexicon's accent types —
+    heiban (rise-only) for words without accent data."""
+    spans: List[tuple] = []
+    if any(_is_kanji(c) for c in text):
+        text, spans = _kanji_to_kana_spans(text)
+    for src, dst in _KANA_LEXICAL:
+        if src in text:
+            # equal-length replacements by construction, so accent-phrase
+            # span offsets into the kana string stay valid
+            text = text.replace(src, dst)
+    chars = [_to_hiragana(c) for c in text]
+    morae = _kana_to_morae(chars)
+    if prosody:
+        return _emit_prosody(morae, spans)
+    return [p for _, phs in morae for p in phs]
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +439,7 @@ def japanese_to_phone_strs(text: str, use_openjtalk: Optional[bool] = None) -> L
                 # strip the per-segment ^ head and $/? tail markers
                 phones.extend(openjtalk_g2p_prosody(seg)[1:-1])
             else:
-                phones.extend(kana_to_phones(seg))
+                phones.extend(kana_to_phones(seg, prosody=True))
         if i < len(marks):
             mark = marks[i].strip()
             if mark:

@@ -53,10 +53,16 @@ def test_iteration_mark():
 
 def test_kanji_sentence_to_phones():
     """A natural kanji sentence produces the same phones as its spoken
-    kana transcription."""
+    kana transcription. Accent marks differ by construction: the kanji
+    path knows word boundaries + accent types from the lexicon, while a
+    bare kana run is one default-heiban phrase — so compare with marks
+    stripped, then assert the kanji path carries real accent shape."""
+    marks = {"[", "]", "#"}
     got = japanese_to_phone_strs("今日はいい天気ですね。")
     want = japanese_to_phone_strs("きょうわいいてんきですね。")
-    assert got == want
+    assert [p for p in got if p not in marks] == \
+        [p for p in want if p not in marks]
+    assert "]" in got                  # 今日/天気 are accented (type 1)
     ids = japanese_to_phones("明日、公園へ行きます。")
     assert len(ids) > 5
     assert all(isinstance(i, (int, np.integer)) for i in ids)
