@@ -202,9 +202,27 @@ def main():
             mm_ts.append(time.perf_counter() - t0)
             t0 = time.perf_counter(); jax.block_until_ready(cp(big))
             cp_ts.append(time.perf_counter() - t0)
+        # device->host fetch cost: ~26 ms latency + ~26 ms/MB bandwidth
+        # measured on the tunneled v5e (r5). Serving throughput/TTFA are
+        # bounded by this path (every audio result crosses it), so record
+        # both points: a 16 KB fetch (pure latency) and a 1 MB fetch.
+        sm = jax.jit(lambda x, s: x + s)
+        small = jnp.zeros((8192,), jnp.int16)
+        big16 = jnp.zeros((524288,), jnp.int16)
+        jax.block_until_ready((sm(small, np.int16(0)), sm(big16, np.int16(0))))
+        lat_ts, bw_ts = [], []
+        for i in range(5):
+            y = jax.block_until_ready(sm(small, np.int16(i)))
+            t0 = time.perf_counter(); np.asarray(y)
+            lat_ts.append(time.perf_counter() - t0)
+            y = jax.block_until_ready(sm(big16, np.int16(i)))
+            t0 = time.perf_counter(); np.asarray(y)
+            bw_ts.append(time.perf_counter() - t0)
         return {
             "matmul2048_ms": round(float(np.median(mm_ts)) * 1e3, 3),
             "hbm_copy256mb_ms": round(float(np.median(cp_ts)) * 1e3, 3),
+            "d2h_16kb_ms": round(float(np.median(lat_ts)) * 1e3, 2),
+            "d2h_1mb_ms": round(float(np.median(bw_ts)) * 1e3, 2),
         }
 
     calib = _calibrate()

@@ -124,7 +124,11 @@ class RuntimeConfig:
     phoneme_buckets: Tuple[int, ...] = (32, 64, 128, 256)
     prompt_buckets: Tuple[int, ...] = (128, 256, 512)
     kv_cache_len: int = 1024          # prompt (<=500) + decode (<=500) headroom
-    frame_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    # 192 exists for the serving band: EOS at typical sentence lengths
+    # lands at 130-210 codes, and padding those to 256 wasted ~20% of
+    # every finisher vocode (latent + HiFi-GAN + d2h scale with the
+    # BUCKET, not the actual length — r5 measurement)
+    frame_buckets: Tuple[int, ...] = (64, 128, 192, 256, 512)
     # STATIC decode-cap ladder. The actual per-call min/max decode steps
     # are traced scalars (t2s.generate max_steps_dyn), so every request
     # whose cap rounds to the same bucket shares ONE compiled decode
@@ -272,6 +276,15 @@ class RuntimeConfig:
     # for a full vocode_chunk (256 frames = 136 steps, which made
     # under-load TTFA ~= completion latency). 0 restores the chunk rule.
     slot_first_piece: int = 32
+    # While a streaming row still owes its first piece the scheduler
+    # dispatches SHORTER decode segments (this many steps instead of
+    # slot_steps) so the join->first-token->first-vocode chain crosses
+    # fewer ~33 ms segment boundaries. Costs ~0.4 ms/step extra while
+    # active (per-segment fixed overhead amortized over fewer steps);
+    # rows owe a first piece for ~2 of their ~7 segments, so the
+    # throughput tax is a few percent. 0 keeps slot_steps always.
+    # Must divide slot_ring.
+    slot_join_steps: int = 16
     # SEGMENTED streaming (runtime/stream.py): decode runs as W-step
     # segments on a solo slot machine and audio windows vocode from the
     # prefix of decoded codes — TTFA becomes length-INDEPENDENT (~W codes

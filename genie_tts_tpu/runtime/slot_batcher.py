@@ -122,6 +122,17 @@ def seg_window_combos(cfg, sx: int, sp: int, ring: int) -> list:
     return combos
 
 
+def seg_widths(cfg, ring: int) -> "tuple[int, ...]":
+    """The segment step-widths the scheduler can dispatch: slot_steps
+    always, plus the shorter slot_join_steps used while a streaming row
+    owes its first piece (TTFA). Both must divide the ring."""
+    widths = [cfg.slot_steps]
+    j = cfg.slot_join_steps
+    if j and j != cfg.slot_steps and ring % j == 0:
+        widths.append(j)
+    return tuple(widths)
+
+
 def slot_geometry(cfg, tcfg) -> "tuple[int, int, int, int, int]":
     """(n_slots, seg_steps, ring, phoneme_bucket, prompt_bucket) — the
     static geometry every slot graph is keyed on. Shared by the batcher
@@ -187,12 +198,13 @@ def slot_warmup_units(engine: "TTSEngine", char: "CharacterModel",
         scalar, scalar, scalar, scalar, samp0, ring=ring).compile())
     units.append(lambda: _release_jit.lower(small, scalar).compile())
     for cw, rw in seg_window_combos(cfg, sx, sp, ring):
-        units.append(functools.partial(
-            lambda cw, rw: _seg_jit.lower(
-                params, kc, vc, ks, vs, small, key, tcfg=tcfg, W=W, sx=sx,
-                sp=sp, ring=ring, unroll=unroll,
-                kv_kernel=_kv_kernel_enabled(cfg),
-                ctx_win=cw, ring_win=rw).compile(), cw, rw))
+        for w in seg_widths(cfg, ring):
+            units.append(functools.partial(
+                lambda cw, rw, w: _seg_jit.lower(
+                    params, kc, vc, ks, vs, small, key, tcfg=tcfg, W=w,
+                    sx=sx, sp=sp, ring=ring, unroll=unroll,
+                    kv_kernel=_kv_kernel_enabled(cfg),
+                    ctx_win=cw, ring_win=rw).compile(), cw, rw, w))
     # window-pump graphs: streaming rows pump per-row even without the
     # machine-wide flag, so a server must have them warm
     units.extend(engine.window_warmup_units(
@@ -263,10 +275,14 @@ class SlotBatcher:
         # (batch x frame), all warmable ahead of traffic
         self._t_buckets = (_slot_finisher_t_bucket(self.cfg),)
 
-        self._decode_seg = functools.partial(
-            _seg_jit, tcfg=tcfg, W=self.W, sx=self.sx, sp=self.sp,
-            ring=self.ring, unroll=self._unroll,
-            kv_kernel=_kv_kernel_enabled(self.cfg))
+        self._decode_segs = {
+            w: functools.partial(
+                _seg_jit, tcfg=tcfg, W=w, sx=self.sx, sp=self.sp,
+                ring=self.ring, unroll=self._unroll,
+                kv_kernel=_kv_kernel_enabled(self.cfg))
+            for w in seg_widths(self.cfg, self.ring)}
+        self._decode_seg = self._decode_segs[self.W]
+        self.join_W = min(self._decode_segs)   # == W when join steps off
         # windowed KV reads: ladder of (ctx, ring) read windows; the
         # dispatch loop picks the smallest pair covering every active row
         # (host bookkeeping in self._merged / req.ctx_cols). Joint
@@ -283,8 +299,8 @@ class SlotBatcher:
         self._prefill_join = functools.partial(_prefill_jit, cfg=tcfg)
 
         # Window pump: vocode one vocode_chunk window per pumped row every
-        # pump_every segments, batched across rows; completion vocodes
-        # only the remainder. PER-ROW policy: rows with a STREAMING
+        # half-chunk of decoded steps, batched across rows; completion
+        # vocodes only the remainder. PER-ROW policy: rows with a STREAMING
         # consumer (synthesize_stream) always pump — that is what makes
         # slot-served responses stream with decode-bound TTFA. Rows
         # without a consumer skip the pump (its latent recomputes cost
@@ -300,7 +316,6 @@ class SlotBatcher:
         # the first-piece window must fit the large pump window; larger
         # configs would silently truncate the emitted audio at fetch time
         self.first_piece = min(self.cfg.slot_first_piece, self.chunk)
-        self.pump_every = max(1, (self.chunk // 2) // self.W)
 
         self._reset_state()
         self._slots: List[Optional[_Request]] = [None] * self.n_slots
@@ -377,9 +392,14 @@ class SlotBatcher:
                     self.char, wins=(self.win, self.win_small),
                     t_bucket=self._t_buckets[0], pcm16=self.pcm16))
         if not self.windows:
-            # finisher groups mix arbitrary lengths: warm the frame bucket
-            # of the cap AND the half-cap (the buckets real traffic lands in)
-            for length in {max(max_steps, 1), max(max_steps // 2, 1)}:
+            # finisher groups mix arbitrary lengths: warm EVERY frame
+            # bucket a request can land in between half the cap and the
+            # cap (EOS spreads completions across that band; a mid-run
+            # compile stall on an unwarmed bucket costs seconds)
+            lengths = {max(max_steps, 1), max(max_steps // 2, 1)}
+            lengths |= {b for b in self.cfg.frame_buckets
+                        if max_steps // 2 <= b < max_steps}
+            for length in lengths:
                 codes = np.zeros(length, np.int32)
                 for b in self.cfg.batch_buckets:
                     # warm THROUGH the first bucket >= n_slots — that is the
@@ -395,7 +415,7 @@ class SlotBatcher:
         # dispatch (ladder product + full fallback) — a window transition
         # mid-traffic must not stall on a compile
         combos = seg_window_combos(self.cfg, self.sx, self.sp, self.ring)
-        if len(combos) > 1:
+        if len(combos) > 1 or len(seg_widths(self.cfg, self.ring)) > 1:
             state = jax.eval_shape(functools.partial(
                 slots_mod.init_slots, self.char.t2s_cfg, self.n_slots,
                 self.sx, self.sp, self.ring,
@@ -403,16 +423,17 @@ class SlotBatcher:
                 kv_int8=self.cfg.slot_kv_int8))
             small = _strip_big(state)
             key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
-            kw = dict(tcfg=self.char.t2s_cfg, W=self.W, sx=self.sx,
+            kw = dict(tcfg=self.char.t2s_cfg, sx=self.sx,
                       sp=self.sp, ring=self.ring, unroll=self._unroll,
                       kv_kernel=_kv_kernel_enabled(self.cfg))
             n += self.engine._run_compile_units([
                 functools.partial(
-                    lambda cw, rw: _seg_jit.lower(
+                    lambda cw, rw, w: _seg_jit.lower(
                         self.char.t2s_params, state.k_cache, state.v_cache,
-                        state.k_scale, state.v_scale, small, key,
-                        ctx_win=cw, ring_win=rw, **kw).compile(), cw, rw)
-                for cw, rw in combos])
+                        state.k_scale, state.v_scale, small, key, W=w,
+                        ctx_win=cw, ring_win=rw, **kw).compile(), cw, rw, w)
+                for cw, rw in combos
+                for w in seg_widths(self.cfg, self.ring)])
         bert = np.zeros((len(text_phones), self.char.t2s_cfg.bert_dim),
                         np.float32)
         self.synthesize(ref, text_phones, bert, timeout=600,
@@ -561,13 +582,14 @@ class SlotBatcher:
         req.klat = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(self._seg_counter), 2), b)
         samp = rows_from_config(req.sampling or SamplingConfig(), 1)
-        ctx_k, ctx_v, tok0, hist = self._prefill_join(
-            self.char.t2s_params, key=key,
-            phones=pad_to(packed, self.sx)[None], bert=bert,
-            x_len=np.array([len(packed)], np.int32),
-            prompts=ref.prompts_dev(self.sp),
-            p_len=np.array([len(ref.prompt_tokens)], np.int32),
-            samp=samp)
+        with metrics.timer("slot_join"):
+            ctx_k, ctx_v, tok0, hist = self._prefill_join(
+                self.char.t2s_params, key=key,
+                phones=pad_to(packed, self.sx)[None], bert=bert,
+                x_len=np.array([len(packed)], np.int32),
+                prompts=ref.prompts_dev(self.sp),
+                p_len=np.array([len(ref.prompt_tokens)], np.int32),
+                samp=samp)
         req.tok0_dev = tok0   # fetched at completion time — a blocking
         # tok0 round trip here would serialize every join with the loop
         self._kc, self._vc, self._ks, self._vs, self._small = self._insert(
@@ -673,8 +695,8 @@ class SlotBatcher:
         instead (TTFA under load becomes decode-bound; the scheduler pumps
         every segment until it lands). ``first_only`` (the off-cadence
         per-segment pump) serves ONLY rows awaiting that first piece, so
-        unrelated rows keep their chunk dispatches on the pump_every
-        cadence in well-batched vocode calls."""
+        unrelated rows keep their chunk dispatches on the half-chunk
+        step cadence in well-batched vocode calls."""
         jobs = []
         for req in self._pump_rows():
             frontier = 2 * max(req.count_seen - self.lookahead, 0)
@@ -776,7 +798,17 @@ class SlotBatcher:
         if not pend:
             return
         oldest = max(e[2] for e in pend)
-        if not (force or len(pend) >= self.cfg.slot_finisher_batch
+        # pooling trades completion latency for vocode batch size — a
+        # trade that only pays while there is BACKLOG to decode in the
+        # meantime. With free slots and an empty queue the pooled rows'
+        # waiters are exactly the clients who would refill the machine
+        # (closed-loop serving), so waiting starves the device: measured
+        # 6.86 -> (see PARITY r5) utt/s on the 6-client stage from this
+        # line alone.
+        starving = (self._q.empty()
+                    and any(r is None for r in self._slots))
+        if not (force or starving
+                or len(pend) >= self.cfg.slot_finisher_batch
                 or oldest >= self.cfg.slot_finisher_wait_segs):
             return
         self._finish_pending = []
@@ -849,17 +881,35 @@ class SlotBatcher:
                     metrics.gauge("slot_occupancy", sum(
                         r is not None for r in self._slots))
                     ctx_win, ring_win = self._pick_windows()
+                    # short segments while a streaming row owes its first
+                    # piece: the join->first-audio chain crosses fewer
+                    # segment boundaries (TTFA). Also forced when a full
+                    # segment would cross the ring image boundary (mixed
+                    # widths leave the head W-unaligned; a write past
+                    # ring would clamp and corrupt).
+                    w = self.W
+                    if (self.join_W != self.W and any(
+                            r is not None and r.stream_q is not None
+                            and r.emitted == 0 and not r.harvested
+                            and not r.cancelled for r in self._slots)):
+                        w = self.join_W
+                    if self._head + w > self.ring:
+                        w = self.join_W
+                    # _decode_seg stays the attribute for the default
+                    # width so tests can inject faults/stubs through it
+                    seg_fn = (self._decode_seg if w == self.W
+                              else self._decode_segs[w])
                     with metrics.timer("slot_segment"):
                         (self._kc, self._vc, self._ks, self._vs,
                          self._small, seg_tok) = \
-                            self._decode_seg(self.char.t2s_params, self._kc,
-                                             self._vc, self._ks, self._vs,
-                                             self._small, key,
-                                             ctx_win=ctx_win,
-                                             ring_win=ring_win)
+                            seg_fn(self.char.t2s_params, self._kc, self._vc,
+                                   self._ks, self._vs, self._small, key,
+                                   ctx_win=ctx_win, ring_win=ring_win)
+                    self._head = (self._head + w) % self.ring
+                    self._steps_since_pump += w
                     for b, r in enumerate(self._slots):
-                        if r is not None:       # row advanced <= W merged keys
-                            self._merged[b] = min(self._merged[b] + self.W,
+                        if r is not None:       # row advanced <= w merged keys
+                            self._merged[b] = min(self._merged[b] + w,
                                                   r.max_steps)
                     dispatched = (seg_tok, self._small.done,
                                   self._small.counts, list(self._slots))
@@ -883,10 +933,15 @@ class SlotBatcher:
                     for e in self._finish_pending:
                         e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
-                    # pump on the chunk cadence — or every segment while a
-                    # streaming row still owes its first (small) piece, in
-                    # which case ONLY first-piece jobs run off-cadence
-                    on_cadence = self._seg_counter % self.pump_every == 0
+                    # pump on the chunk cadence (a half-chunk of decoded
+                    # steps since the last pump — step-based because
+                    # segments have mixed widths) — or every segment
+                    # while a streaming row still owes its first (small)
+                    # piece, in which case ONLY first-piece jobs run
+                    # off-cadence
+                    on_cadence = self._steps_since_pump >= self.chunk // 2
+                    if on_cadence:
+                        self._steps_since_pump = 0
                     if (on_cadence
                             or (self.first_piece and any(
                                 r.emitted == 0 and r.stream_q is not None
@@ -895,7 +950,8 @@ class SlotBatcher:
                 pending = dispatched
                 # idle machine: every live row is harvested, so nothing is
                 # coming that could grow the finisher batch — flush now
-                self._flush_finishers_maybe(force=not self._occupied())
+                with metrics.timer("slot_flush_host"):
+                    self._flush_finishers_maybe(force=not self._occupied())
             except BaseException as e:  # noqa: BLE001 — device/driver faults
                 # the machine's device state is suspect: fail every waiter
                 # loudly (reference-style worker-boundary isolation) and
@@ -931,6 +987,8 @@ class SlotBatcher:
 
     def _reset_state(self) -> None:
         self._merged = [0] * self.n_slots
+        self._head = 0                  # host mirror of state.ring_head
+        self._steps_since_pump = 0
         state0 = slots_mod.init_slots(
             self.char.t2s_cfg, self.n_slots, self.sx, self.sp, self.ring,
             dtype=self.char.t2s_params["audio_embed"].dtype,

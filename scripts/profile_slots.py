@@ -12,11 +12,15 @@ slot-batched serving path, to locate the gap between batched capability
 
 Run:  GENIE_BENCH_N=1 python scripts/profile_slots.py
 """
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from genie_tts_tpu.config import RuntimeConfig, T2SConfig, SoVITSConfig
 from genie_tts_tpu.frontend.g2p_ja import japanese_to_phones
