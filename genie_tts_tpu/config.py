@@ -270,12 +270,14 @@ class RuntimeConfig:
     # (0.96 s of audio; its vocode window is first+halo frames)
     stream_first_chunk: int = 48
     # slot streaming (runtime/slot_batcher.py window pump): a streaming
-    # row's FIRST piece is this many latent frames (0.64 s audio) and the
-    # pump is checked every segment until it lands, so TTFA under load is
-    # decode-bound (~first_piece/2 + lookahead steps) instead of waiting
-    # for a full vocode_chunk (256 frames = 136 steps, which made
-    # under-load TTFA ~= completion latency). 0 restores the chunk rule.
-    slot_first_piece: int = 32
+    # row's FIRST piece is this many latent frames (16 -> 0.32 s audio).
+    # Sized so the claimed token count (first_piece/2 + lookahead) fits
+    # inside ONE decode segment: the scheduler then vocodes the first
+    # piece SPECULATIVELY behind the row's first segment with codes
+    # assembled on-device (slot_batcher._spec_first_pieces), making TTFA
+    # one device round trip instead of 2-3 loop iterations. 0 restores
+    # the chunk rule (first audio only after a full vocode_chunk).
+    slot_first_piece: int = 16
     # While a streaming row still owes its first piece the scheduler
     # dispatches SHORTER decode segments (this many steps instead of
     # slot_steps) so the join->first-token->first-vocode chain crosses

@@ -211,7 +211,13 @@ def _enable_persistent_compile_cache() -> None:
             jax.config.update(
                 "jax_compilation_cache_dir",
                 os.path.expanduser(f"~/.cache/genie_tts_tpu_xla_{backend}"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            # persist EVERYTHING: on the tunneled backend even trivial
+            # op-by-op graphs (broadcast, slice, convert) take ~0.45 s to
+            # compile, and a serving warmup dispatches ~100 of them — the
+            # default 1 s floor re-paid that tax every process (r5: 46 s
+            # of a 303 s warmup was sub-second compiles)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
     except Exception:  # pragma: no cover - config name drift
         logger.debug("could not enable persistent compilation cache")
 
@@ -670,7 +676,8 @@ class TTSEngine:
     def vocode_windows_dispatch(self, char: CharacterModel, rows,
                                 win: int, pcm16: bool = False,
                                 noise_scale: float = 0.5,
-                                b_buckets=None, t_buckets=None):
+                                b_buckets=None, t_buckets=None,
+                                codes_dev=None):
         """Async per-row WINDOW vocode (the slot batcher's window pump).
 
         ``rows``: list of ``(ref, text_phones, codes_np, count, key,
@@ -681,6 +688,13 @@ class TTSEngine:
         sovits.synthesize_latent_rows). Rows at different emit positions
         batch into ONE latent + ONE window dispatch; fetch the handle
         with :meth:`vocode_windows_fetch`.
+
+        ``codes_dev``: optional [len(rows), fb] DEVICE codes overriding
+        the rows' ``codes_np`` (which may then be None). Lets the slot
+        scheduler vocode a first piece from an IN-FLIGHT segment's token
+        buffer without waiting for the tokens to round-trip to the host
+        (speculative first-piece dispatch; fb must match this method's
+        bucket choice for the rows' counts).
         """
         vcfg = char.sovits_cfg
         B = len(rows)
@@ -701,9 +715,21 @@ class TTSEngine:
                 f"largest frame bucket {fb}; raise frame_buckets or lower "
                 "slot_ring/max_steps")
         lens = np.minimum(lens, fb)
-        codes_b = np.stack([pad_to(np.clip(c[:fb], 0, vcfg.vq_codes - 1)
-                                   .astype(np.int32), fb)
-                            for (_, _, c, *_rest) in rows])
+        if codes_dev is not None:
+            # pre-padded to the batch bucket and pre-clipped by the
+            # caller's jit: no op-by-op glue here (each first-shape
+            # dispatch costs a ~0.45 s compile on the tunneled backend)
+            if codes_dev.shape != (B_pad, fb):
+                raise ValueError(
+                    f"codes_dev shape {codes_dev.shape} != ({B_pad}, {fb})"
+                    " — the caller must pad device codes to this method's"
+                    " batch/frame buckets")
+            codes_b = codes_dev
+        else:
+            codes_b = np.stack([
+                pad_to(np.clip(c[:fb], 0, vcfg.vq_codes - 1)
+                       .astype(np.int32), fb)
+                for (_, _, c, *_rest) in rows])
         t_lens = np.array([len(tp) for (_, tp, *_r) in rows], np.int32)
         t_bucket = pick_bucket(int(t_lens.max()),
                                t_buckets or self.cfg.phoneme_buckets)

@@ -107,6 +107,27 @@ def _release_jit(small, slot):  # touches flags only — no caches involved
     return slots_mod.release_slot(small, slot)
 
 
+@functools.partial(jax.jit, static_argnames=("fb", "count", "vq_codes"))
+def _spec_codes_jit(tok0s, seg_tok, slots, *, fb, count, vq_codes):
+    """[R_pad, fb] device codes for speculative first pieces: row r is
+    ``tok0s[r]`` followed by the first ``count - 1`` tokens of the
+    IN-FLIGHT segment's row ``slots[r]``. Runs after that segment on the
+    device stream, so the tokens exist by the time this executes — the
+    host never waits for them.
+
+    ``tok0s`` is a TUPLE of [1] arrays (one per padded row) and the
+    clip/pad all happen inside this one jit: every op-by-op glue
+    dispatch costs a ~0.45 s compile on the tunneled backend the first
+    time its shape appears, which stalled the scheduler mid-traffic
+    (r5 measurement). Keyed on the padded row-bucket, so the compile
+    set is bounded by batch_buckets."""
+    rows = seg_tok[slots, : count - 1]                    # [R_pad, count-1]
+    codes = jnp.zeros((len(tok0s), fb), jnp.int32)
+    codes = codes.at[:, 0].set(jnp.concatenate(tok0s))
+    codes = codes.at[:, 1:count].set(rows)
+    return jnp.clip(codes, 0, vq_codes - 1)
+
+
 _prefill_jit = jax.jit(slots_mod.prefill_join, static_argnames=("cfg",))
 
 
@@ -438,6 +459,42 @@ class SlotBatcher:
                         np.float32)
         self.synthesize(ref, text_phones, bert, timeout=600,
                         max_steps=min(2 * self.W, max_steps))
+        if streaming:
+            # the speculative first-piece codes jit at every padded row
+            # bucket (tiny graphs, but a first-shape compile mid-traffic
+            # stalls a TTFA)
+            if self.first_piece:
+                from .buckets import pick_bucket
+
+                count = self.first_piece // 2 + self.lookahead
+                fb = pick_bucket(max(count, -(-self._win_for(
+                    [(None, None, count, 0, self.first_piece)]) // 2)),
+                    self.cfg.frame_buckets)
+                i32 = jnp.int32
+                n += self.engine._run_compile_units([
+                    functools.partial(
+                        lambda r, w0: _spec_codes_jit.lower(
+                            tuple([jax.ShapeDtypeStruct((1,), i32)] * r),
+                            jax.ShapeDtypeStruct((self.n_slots, w0), i32),
+                            jax.ShapeDtypeStruct((r,), i32),
+                            fb=fb, count=count,
+                            vq_codes=self.char.sovits_cfg.vq_codes
+                        ).compile(), r, w0)
+                    for r in self.cfg.batch_buckets if r <= self.n_slots
+                    # same guard as _spec_first_pieces: a segment
+                    # shorter than the claimed count never dispatches
+                    for w0 in set(seg_widths(self.cfg, self.ring))
+                    if w0 >= count - 1])
+            # one real STREAMING request: first-use op-by-op glue on the
+            # speculative first-piece + pump + piece-fetch paths costs
+            # ~0.45 s per shape on the tunneled backend — pay it here,
+            # not on the first client's TTFA
+            steps = min(2 * self.W, max_steps)
+            for _ in self.synthesize_stream(ref, text_phones, bert,
+                                            timeout=600, min_steps=steps,
+                                            max_steps=steps):
+                pass
+            return n + 2
         return n + 1
 
     def synthesize(self, ref: ReferenceFeatures, phones: np.ndarray,
@@ -650,16 +707,18 @@ class SlotBatcher:
             f"(windows: {self.win_small}, {self.win}); job widths must be "
             f"clamped to vocode_chunk={self.chunk}")
 
-    def _dispatch_windows(self, jobs) -> None:
+    def _dispatch_windows(self, jobs, codes_dev=None) -> None:
         """One batched latent + window vocode for ``jobs`` = [(req, codes,
         count, start, width_frames)]. Dispatch here on the scheduler
-        thread (may compile); the piece fetch runs on the (single) worker."""
+        thread (may compile); the piece fetch runs on the (single) worker.
+        ``codes_dev``: device codes overriding the jobs' codes (the
+        speculative first-piece path — see :meth:`_spec_first_pieces`)."""
         rows = [(req.ref, req.phones, codes, count, req.klat, start, width)
                 for req, codes, count, start, width in jobs]
         with metrics.timer("slot_window_vocode"):
             handle = self.engine.vocode_windows_dispatch(
                 self.char, rows, win=self._win_for(jobs), pcm16=self.pcm16,
-                t_buckets=self._t_buckets)
+                t_buckets=self._t_buckets, codes_dev=codes_dev)
         metrics.gauge("slot_window_rows", len(jobs))
         for req, _, _, start, width in jobs:
             req.emitted = start + width
@@ -680,6 +739,47 @@ class SlotBatcher:
                     req.done.set()
 
         self._winworker.submit(fetch)
+
+    def _spec_first_pieces(self, seg_tok, seg_w: int) -> None:
+        """Speculative first pieces for rows whose FIRST decode segment
+        is the one just dispatched: the vocode is enqueued on the device
+        stream right behind that segment, with codes assembled on-device
+        from its (not yet fetched) token buffer. The join -> first-audio
+        chain thus crosses ONE device round trip instead of waiting for
+        tokens to reach the host and re-dispatching a pump one or two
+        loop iterations later (measured: TTFA p50 388 ms under 6-way
+        streaming load, dominated by ~100 ms iteration boundaries).
+        Guarded by min_steps >= claimed count so every claimed token is
+        a real pre-EOS token."""
+        if not self.first_piece:
+            return
+        count = self.first_piece // 2 + self.lookahead
+        if count - 1 > seg_w:
+            return                      # one segment cannot cover it
+        jobs, slots = [], []
+        for b, req in enumerate(self._slots):
+            if (req is not None and req.stream_q is not None
+                    and not req.harvested and not req.cancelled
+                    and req.emitted == 0 and req.count_seen == 0
+                    and req.tok0_dev is not None
+                    and req.min_steps >= count):
+                jobs.append((req, None, count, 0, self.first_piece))
+                slots.append(b)
+        if not jobs:
+            return
+        from .buckets import pick_bucket
+
+        win = self._win_for(jobs)
+        fb = pick_bucket(max(count, -(-win // 2)), self.cfg.frame_buckets)
+        R = len(jobs)
+        R_pad = max(pick_bucket(R, self.cfg.batch_buckets), R)
+        tok0s = tuple([req.tok0_dev for req, *_ in jobs]
+                      + [jobs[0][0].tok0_dev] * (R_pad - R))
+        slots_pad = np.asarray(slots + [slots[0]] * (R_pad - R), np.int32)
+        codes_dev = _spec_codes_jit(
+            tok0s, seg_tok, slots_pad, fb=fb, count=count,
+            vq_codes=self.char.sovits_cfg.vq_codes)
+        self._dispatch_windows(jobs, codes_dev=codes_dev)
 
     def _pump_rows(self) -> list:
         """Rows the window pump serves: every in-flight row in the legacy
@@ -913,6 +1013,7 @@ class SlotBatcher:
                                                   r.max_steps)
                     dispatched = (seg_tok, self._small.done,
                                   self._small.counts, list(self._slots))
+                    self._spec_first_pieces(seg_tok, w)
                 else:
                     dispatched = None
                 if pending is not None:

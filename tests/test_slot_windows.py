@@ -259,3 +259,24 @@ def test_windows_multi_pump_assembly():
         assert len(a) == 2 * 24 * hop, f"req {i}: {len(a)} samples"
         assert np.isfinite(a).all()
         assert a.dtype == np.float32
+
+
+def test_spec_codes_matches_host_assembly():
+    """The speculative first-piece codes (device-assembled from the
+    in-flight segment buffer) must equal the host-side _codes_so_far
+    assembly for the same tokens."""
+    from genie_tts_tpu.runtime.slot_batcher import _spec_codes_jit
+
+    rng = np.random.default_rng(0)
+    W, B, fb, count, vq = 16, 4, 64, 12, 32
+    seg_tok = rng.integers(0, 30, (B, W)).astype(np.int32)
+    tok0s = rng.integers(0, 30, (2,)).astype(np.int32)
+    slots = np.array([2, 0], np.int32)
+    got = np.asarray(_spec_codes_jit(
+        tuple(jnp.asarray(tok0s[r:r + 1]) for r in range(2)),
+        jnp.asarray(seg_tok), slots, fb=fb, count=count, vq_codes=vq))
+    for r in range(2):
+        want = np.zeros(fb, np.int32)
+        want[0] = tok0s[r]
+        want[1:count] = seg_tok[slots[r], : count - 1]
+        np.testing.assert_array_equal(got[r], np.clip(want, 0, vq - 1))
