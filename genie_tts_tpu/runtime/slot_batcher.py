@@ -272,6 +272,11 @@ class _Request:
     # this queue as their fetches land; None terminates, an exception
     # propagates to the consuming generator
     stream_q: Optional[queue.Queue] = None
+    # TTFA stage timestamps (perf_counter): queue wait / join-to-dispatch /
+    # dispatch-to-first-piece land in metrics as ttfa_* timers
+    t_submit: float = 0.0
+    t_join: float = 0.0
+    t_first_dispatch: float = 0.0
 
 
 class SlotBatcher:
@@ -337,11 +342,21 @@ class SlotBatcher:
         # the first-piece window must fit the large pump window; larger
         # configs would silently truncate the emitted audio at fetch time
         self.first_piece = min(self.cfg.slot_first_piece, self.chunk)
+        # dedicated small window for first pieces and short remainders: a
+        # 16-frame piece vocoded through win_small (176 frames) spends
+        # ~3x the HiFi-GAN work and doubles the latent bucket; every
+        # extra device-ms here is head-of-line latency for the TTFA the
+        # piece exists to serve
+        self.win_first = (self.first_piece + 2 * self.halo
+                          if self.first_piece else 0)
+        if not self.win_first or self.win_first >= self.win_small:
+            self.win_first = self.win_small
 
         self._reset_state()
         self._slots: List[Optional[_Request]] = [None] * self.n_slots
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._seg_counter = 0
+        self._defer_pump = False
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
@@ -408,9 +423,10 @@ class SlotBatcher:
             # window pump + remainder graphs at every (batch, frame>=win/2,
             # window) bucket — AOT lower+compile on a thread pool (serial
             # eager warmup measured 430 s on v5e; compiles release the GIL)
+            wins = {self.win, self.win_small, self.win_first}
             n = self.engine._run_compile_units(
                 self.engine.window_warmup_units(
-                    self.char, wins=(self.win, self.win_small),
+                    self.char, wins=tuple(sorted(wins)),
                     t_bucket=self._t_buckets[0], pcm16=self.pcm16))
         if not self.windows:
             # finisher groups mix arbitrary lengths: warm EVERY frame
@@ -539,10 +555,21 @@ class SlotBatcher:
         self.start()
         max_steps = min(max_steps or self.char.t2s_cfg.max_decode_steps,
                         self.ring)
+        if self.first_piece:
+            # floor: the speculative first piece claims this many tokens
+            # from the row's first decode segment (_spec_first_pieces),
+            # which is only sound if EOS cannot land inside them. 16
+            # codes = 0.32 s of audio — below any non-degenerate
+            # utterance, so the floor changes nothing real while letting
+            # EVERY streaming request take the speculative TTFA path.
+            min_steps = max(min_steps,
+                            min(self.first_piece // 2 + self.lookahead,
+                                max_steps))
         req = _Request(ref, phones.astype(np.int32), bert,
                        min_steps=min(min_steps, max_steps),
                        max_steps=max_steps, sampling=sampling,
-                       stream_q=queue.Queue())
+                       stream_q=queue.Queue(),
+                       t_submit=time.perf_counter())
         self._q.put(req)
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
@@ -563,6 +590,12 @@ class SlotBatcher:
 
     def _occupied(self) -> bool:
         return any(r is not None for r in self._slots)
+
+    def _stream_waiter_queued(self) -> bool:
+        """A streaming request is waiting to join (TTFA in progress)."""
+        with self._q.mutex:
+            return any(r.stream_q is not None and not r.cancelled
+                       for r in self._q.queue)
 
     def _drop_cancelled(self) -> None:
         """Free slots whose waiters timed out (their rows decode garbage
@@ -659,6 +692,9 @@ class SlotBatcher:
         req.ctx_cols = len(packed) + len(ref.prompt_tokens)
         self._merged[b] = 0
         self._slots[b] = req
+        if req.stream_q is not None and req.t_submit:
+            req.t_join = time.perf_counter()
+            metrics.observe("ttfa_queue_wait", req.t_join - req.t_submit)
 
     def _harvest(self, seg_tok: np.ndarray, done: np.ndarray,
                  counts: np.ndarray,
@@ -699,13 +735,13 @@ class SlotBatcher:
         remainders are usually << chunk; vocoding them in the full pump
         window would double their HiFi-GAN cost)."""
         need = max(width for *_x, width in jobs) + 2 * self.halo
-        for w in (self.win_small, self.win):
+        for w in (self.win_first, self.win_small, self.win):
             if need <= w:
                 return w
         raise ValueError(
             f"no vocode window covers width+halo={need} frames "
-            f"(windows: {self.win_small}, {self.win}); job widths must be "
-            f"clamped to vocode_chunk={self.chunk}")
+            f"(windows: {self.win_first}, {self.win_small}, {self.win}); "
+            f"job widths must be clamped to vocode_chunk={self.chunk}")
 
     def _dispatch_windows(self, jobs, codes_dev=None) -> None:
         """One batched latent + window vocode for ``jobs`` = [(req, codes,
@@ -720,8 +756,12 @@ class SlotBatcher:
                 self.char, rows, win=self._win_for(jobs), pcm16=self.pcm16,
                 t_buckets=self._t_buckets, codes_dev=codes_dev)
         metrics.gauge("slot_window_rows", len(jobs))
+        now = time.perf_counter()
         for req, _, _, start, width in jobs:
             req.emitted = start + width
+            if start == 0 and req.stream_q is not None and req.t_join:
+                req.t_first_dispatch = now
+                metrics.observe("ttfa_join_to_dispatch", now - req.t_join)
         meta = [(req, start) for req, _, _, start, _ in jobs]
 
         def fetch(meta=meta, handle=handle):
@@ -730,6 +770,11 @@ class SlotBatcher:
                         meta, TTSEngine.vocode_windows_fetch(handle)):
                     req.pieces[start] = piece
                     if req.stream_q is not None and not req.cancelled:
+                        if start == 0 and req.t_first_dispatch:
+                            t = time.perf_counter()
+                            metrics.observe("ttfa_dispatch_to_piece",
+                                            t - req.t_first_dispatch)
+                            metrics.observe("ttfa_total", t - req.t_submit)
                         req.stream_q.put(piece)
             except BaseException as e:  # noqa: BLE001 — surface at completion
                 logger.exception("window fetch failed")
@@ -780,6 +825,25 @@ class SlotBatcher:
             tok0s, seg_tok, slots_pad, fb=fb, count=count,
             vq_codes=self.char.sovits_cfg.vq_codes)
         self._dispatch_windows(jobs, codes_dev=codes_dev)
+
+    def _run_pump_flush(self) -> None:
+        """One round of vocode dispatches: pump on the chunk cadence (a
+        half-chunk of decoded steps since the last pump — step-based
+        because segments have mixed widths) — or every segment while a
+        streaming row still owes its first (small) piece, in which case
+        ONLY first-piece jobs run off-cadence; then the finisher flush
+        (forced when the machine idles: every live row is harvested, so
+        nothing is coming that could grow the finisher batch)."""
+        on_cadence = self._steps_since_pump >= self.chunk // 2
+        if on_cadence:
+            self._steps_since_pump = 0
+        if (on_cadence
+                or (self.first_piece and any(
+                    r.emitted == 0 and r.stream_q is not None
+                    for r in self._pump_rows()))):
+            self._pump_windows(first_only=not on_cadence)
+        with metrics.timer("slot_flush_host"):
+            self._flush_finishers_maybe(force=not self._occupied())
 
     def _pump_rows(self) -> list:
         """Rows the window pump serves: every in-flight row in the legacy
@@ -1016,6 +1080,12 @@ class SlotBatcher:
                     self._spec_first_pieces(seg_tok, w)
                 else:
                     dispatched = None
+                if self._defer_pump:
+                    # vocode work deferred from the previous iteration so
+                    # a joining streaming row's prefill+segment+spec piece
+                    # entered the device queue ahead of it
+                    self._defer_pump = False
+                    self._run_pump_flush()
                 if pending is not None:
                     seg_tok, done, counts, occupants = pending
                     # piggyback first-token fetches on the segment RPC:
@@ -1034,25 +1104,21 @@ class SlotBatcher:
                     for e in self._finish_pending:
                         e[2] += 1          # aged one more segment
                     self._harvest(tok_np, done_np, counts_np, occupants)
-                    # pump on the chunk cadence (a half-chunk of decoded
-                    # steps since the last pump — step-based because
-                    # segments have mixed widths) — or every segment
-                    # while a streaming row still owes its first (small)
-                    # piece, in which case ONLY first-piece jobs run
-                    # off-cadence
-                    on_cadence = self._steps_since_pump >= self.chunk // 2
-                    if on_cadence:
-                        self._steps_since_pump = 0
-                    if (on_cadence
-                            or (self.first_piece and any(
-                                r.emitted == 0 and r.stream_q is not None
-                                for r in self._pump_rows()))):
-                        self._pump_windows(first_only=not on_cadence)
                 pending = dispatched
-                # idle machine: every live row is harvested, so nothing is
-                # coming that could grow the finisher batch — flush now
-                with metrics.timer("slot_flush_host"):
-                    self._flush_finishers_maybe(force=not self._occupied())
+                # defer this iteration's pump/flush dispatches when a
+                # streaming request is waiting AND can join: the next
+                # iteration dispatches its prefill+segment+speculative
+                # first piece BEFORE this vocode work, so the TTFA chain
+                # does not queue behind 100-250 ms of chunk pumps and
+                # finisher flushes on the FIFO device stream (measured
+                # r5: ttfa_dispatch_to_piece p50 299 ms, almost all of
+                # it head-of-line work). The deferred work runs at most
+                # one segment later — throughput is unaffected.
+                if (self._stream_waiter_queued()
+                        and any(r is None for r in self._slots)):
+                    self._defer_pump = True
+                else:
+                    self._run_pump_flush()
             except BaseException as e:  # noqa: BLE001 — device/driver faults
                 # the machine's device state is suspect: fail every waiter
                 # loudly (reference-style worker-boundary isolation) and

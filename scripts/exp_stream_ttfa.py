@@ -72,7 +72,7 @@ def main():
         if not isinstance(entries, dict):
             continue
         for k in sorted(entries):
-            if "slot" in k or "window" in k:
+            if "slot" in k or "window" in k or "ttfa" in k:
                 print(f"  {cat}.{k}: {entries[k]}", flush=True)
     sb.stop()
 

@@ -14,6 +14,7 @@ Covers the three claims the design rests on:
 import threading
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,7 @@ def _vparams():
     return sovits.init_params(jax.random.PRNGKey(0), VCFG, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_latent_rows_prefix_noise_stable():
     """Same per-row key => same prefix latent across (count, fb, batch).
 
@@ -111,6 +113,7 @@ def test_latent_rows_prefix_noise_stable():
         f"prefix drift {d_grow:.3f} not small vs fresh-noise {d_key:.3f}")
 
 
+@pytest.mark.slow
 def test_window_vocode_interior_exact():
     """Two halo-padded windows == the single-shot waveform interior."""
     params = _vparams()
@@ -157,6 +160,7 @@ def _mk_batcher(stream_finisher: bool, **over):
     return SlotBatcher(eng, char), ref
 
 
+@pytest.mark.slow
 def test_windows_path_matches_legacy_length():
     """Windowed assembly emits exactly the legacy finisher's length."""
     ph = np.arange(1, 6, dtype=np.int32)
@@ -172,6 +176,7 @@ def test_windows_path_matches_legacy_length():
     assert np.isfinite(outs[True]).all()
 
 
+@pytest.mark.slow
 def test_synthesize_stream_pieces():
     """Streaming slot requests yield ordered pieces that reassemble to
     exactly the blocking result's length; concurrent streams coexist."""
@@ -199,6 +204,7 @@ def test_synthesize_stream_pieces():
         assert np.isfinite(total).all()
 
 
+@pytest.mark.slow
 def test_mixed_streaming_without_windows_flag():
     """PER-ROW pump: with the machine-wide windows flag OFF, a streaming
     request still yields incremental pieces while concurrent blocking
@@ -259,6 +265,23 @@ def test_windows_multi_pump_assembly():
         assert len(a) == 2 * 24 * hop, f"req {i}: {len(a)} samples"
         assert np.isfinite(a).all()
         assert a.dtype == np.float32
+
+
+def test_win_for_picks_smallest_covering_window():
+    """First pieces and short remainders must vocode through the small
+    dedicated window (win_first), full chunks through the large one."""
+    sb, _ = _mk_batcher(True, vocode_chunk=64, vocode_halo=4)
+    try:
+        fp = sb.first_piece
+        assert fp == 16 and sb.win_first == fp + 2 * sb.halo
+        job = (None, None, 8, 0, fp)
+        assert sb._win_for([job]) == sb.win_first
+        wide = (None, None, 8, 0, sb.chunk)
+        assert sb._win_for([wide]) == sb.win
+        mixed = sb._win_for([job, (None, None, 8, 0, sb.chunk // 2)])
+        assert mixed == sb.win_small
+    finally:
+        sb.stop()
 
 
 def test_spec_codes_matches_host_assembly():
