@@ -18,6 +18,7 @@ RCFG = RobertaConfig(
 VCFG = SoVITSConfig(spec_channels=33, sv_dim=64)
 
 
+@pytest.mark.slow
 class TestHubert:
     def test_output_shape(self):
         params = hubert.init_params(jax.random.PRNGKey(0), HCFG, jnp.float32)

@@ -13,8 +13,12 @@ import pytest
 from genie_tts_tpu.config import RuntimeConfig, SoVITSConfig, T2SConfig
 from genie_tts_tpu.parallel.mesh import make_mesh
 from genie_tts_tpu.runtime.engine import (
+
     TTSEngine, make_random_character, make_random_reference,
 )
+
+pytestmark = pytest.mark.slow  # module fixture compiles full model graphs (minutes on CPU)
+
 
 TCFG = T2SConfig(
     phoneme_vocab=64, semantic_vocab=33, embed_dim=32, num_layers=2,

@@ -189,12 +189,14 @@ def _oracle_prompts(fx_):
                              torch.as_tensor(fx_["ssl"]))
 
 
+@pytest.mark.slow
 def test_vq_prompt_parity(fx):
     ours = t2s.extract_prompt_tokens(fx["tparams"], jnp.asarray(fx["ssl"]))
     ref = _oracle_prompts(fx)
     np.testing.assert_array_equal(np.asarray(ours), ref.numpy())
 
 
+@pytest.mark.slow
 def test_ref_embedding_parity(fx):
     spec = linear_spectrogram(jnp.asarray(fx["ref_audio"])[None])
     ge = sovits.reference_embedding(fx["vparams"], VCFG, spec,
@@ -232,6 +234,7 @@ def _oracle_tokens(fx_, n_layers=L_T2S):
     return codes, emitted
 
 
+@pytest.mark.slow
 def test_t2s_greedy_token_parity(fx):
     ours, _ = _jax_greedy_tokens(fx, fx["tparams"])
     ref, emitted = _oracle_tokens(fx)
@@ -239,6 +242,7 @@ def test_t2s_greedy_token_parity(fx):
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.slow
 def test_sovits_waveform_parity(fx):
     codes, _ = _oracle_tokens(fx)
     assert len(codes) > 0
@@ -261,6 +265,7 @@ def test_sovits_waveform_parity(fx):
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_engine_e2e_deployment_path(fx, tmp_path):
     """convert_character -> disk -> model manager -> engine, bucketed.
 
@@ -361,6 +366,7 @@ def _slot_greedy_tokens(fx_, tparams, kv_int8):
         toks[None], np.array([count]), TCFG.eos_id)[0]
 
 
+@pytest.mark.slow
 def test_slot_kv_int8_quality(fx):
     """Quality gate for the int8 slot KV cache at d=512 geometry.
 
@@ -388,6 +394,7 @@ def test_slot_kv_int8_quality(fx):
         f"kv-int8 emitted {len(q_toks)} tokens vs exact {len(exact_toks)}")
 
 
+@pytest.mark.slow
 def test_int8_serving_default_quality(fx):
     """Quality gate for the int8 serving default at d=512 geometry.
 

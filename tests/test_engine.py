@@ -56,6 +56,7 @@ def setup():
     return eng, char, ref
 
 
+@pytest.mark.slow
 def test_e2e_synthesis(setup):
     eng, char, ref = setup
     phones = np.array([5, 10, 15, 20, 25], np.int32)
@@ -70,6 +71,7 @@ def test_e2e_synthesis(setup):
     assert np.abs(audio).max() <= 1.0
 
 
+@pytest.mark.slow
 def test_e2e_deterministic_given_seed(setup):
     eng, char, ref = setup
     phones = np.array([5, 10, 15], np.int32)
@@ -79,6 +81,7 @@ def test_e2e_deterministic_given_seed(setup):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_prompt_token_extraction(setup):
     eng, char, ref = setup
     assert ref.prompt_tokens.ndim == 1
@@ -87,6 +90,7 @@ def test_prompt_token_extraction(setup):
     assert ref.ge.shape == (VCFG.gin_channels, 1)
 
 
+@pytest.mark.slow
 def test_pipelined_matches_fused(setup):
     eng, char, ref = setup
     items = []
@@ -102,6 +106,7 @@ def test_pipelined_matches_fused(setup):
         np.testing.assert_array_equal(piped[i], solo)
 
 
+@pytest.mark.slow
 def test_oversize_lengths_clamp_to_buckets(setup):
     """Inputs beyond the largest bucket truncate SAFELY: the lengths fed to
     the attention masks clamp to the bucket, so no unwritten cache

@@ -74,6 +74,7 @@ def test_unknown_kanji_raises_loudly():
     assert "鸞" in str(ei.value)
 
 
+@pytest.mark.slow
 def test_kanji_e2e_synthesis():
     """Kanji text synthesizes end-to-end offline (tiny random model)."""
     import jax.numpy as jnp

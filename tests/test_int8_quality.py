@@ -15,8 +15,14 @@ from genie_tts_tpu.models import t2s
 from genie_tts_tpu.ops.layers import linear
 from genie_tts_tpu.ops.sampling import SamplingConfig
 from genie_tts_tpu.runtime.engine import (
+
     TTSEngine, make_random_character, make_random_reference,
 )
+
+import pytest
+
+pytestmark = pytest.mark.slow  # module fixture compiles full model graphs (minutes on CPU)
+
 
 TCFG = T2SConfig(
     phoneme_vocab=732, semantic_vocab=65, embed_dim=64, num_layers=3,

@@ -26,6 +26,8 @@ from genie_tts_tpu.runtime.model_manager import model_manager
 from genie_tts_tpu.utils.metrics import metrics
 from genie_tts_tpu.utils.wavio import write_wav
 
+pytestmark = pytest.mark.slow  # module fixture compiles full model graphs (minutes on CPU)
+
 TCFG = T2SConfig(
     phoneme_vocab=732, semantic_vocab=33, embed_dim=32, num_layers=2,
     num_heads=4, ffn_dim=64, bert_dim=1024, ssl_dim=24, eos_id=32,

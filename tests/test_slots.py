@@ -63,6 +63,7 @@ def _pad_row(ids, n):
     return out
 
 
+@pytest.mark.slow
 def test_slot_solo_matches_generate(params):
     """One request alone in the slot machine == t2s.generate (greedy)."""
     ids = np.array([3, 5, 7, 2, 11], np.int32)
@@ -90,6 +91,7 @@ def test_slot_solo_matches_generate(params):
     np.testing.assert_array_equal(np.array(got[:count]), expect)
 
 
+@pytest.mark.slow
 def test_slot_staggered_join_matches_solo(params):
     """A request joining mid-run next to a busy slot decodes identically."""
     idsA = np.array([3, 5, 7, 2, 11], np.int32)
@@ -188,6 +190,7 @@ def test_quantize_kv_columns_roundtrip_bound():
         grid * 0.031, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_slot_windowed_reads_match_full(params):
     """Windowed KV reads (ctx_win/ring_win) == full-cache decode.
 
@@ -229,6 +232,7 @@ def test_slot_windowed_reads_match_full(params):
     np.testing.assert_array_equal(run(8, RING - W), full)
 
 
+@pytest.mark.slow
 def test_slot_windowed_ring_wrap(params):
     """A long decode whose ring writes wrap: the backward window through
     the doubled-ring second copy must still expose the last ring_win
@@ -304,6 +308,7 @@ def test_slot_kv_int8_machinery(params):
     assert agree >= 0.5, f"early-stream agreement {agree}"
 
 
+@pytest.mark.slow
 def test_slot_batcher_end_to_end():
     """Scheduler: concurrent requests through SlotBatcher produce audio."""
     import threading
@@ -347,6 +352,7 @@ def test_slot_batcher_end_to_end():
         assert a.dtype == np.float32 and len(a) > 0 and np.isfinite(a).all()
 
 
+@pytest.mark.slow
 def test_slot_batcher_survives_segment_failure():
     """A device-side fault fails waiters loudly, then the machine recovers."""
     vcfg = SoVITSConfig(

@@ -8,6 +8,8 @@ from genie_tts_tpu.config import SoVITSConfig
 from genie_tts_tpu.models import sovits
 from genie_tts_tpu.ops.audio import linear_spectrogram
 
+pytestmark = pytest.mark.slow  # module fixture compiles full model graphs (minutes on CPU)
+
 # Tiny config: hop = 2*2*2 = 8, frames upsample 2x from codes
 CFG = SoVITSConfig(
     spec_channels=33, inter_channels=16, hidden_channels=16, filter_channels=32,

@@ -16,6 +16,7 @@ CFG = T2SConfig(
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_train_step_loss_decreases():
     mesh = make_mesh(dp=2, tp=4)
     params = t2s.init_params(jax.random.PRNGKey(0), CFG, dtype=np.float32)

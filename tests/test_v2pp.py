@@ -15,6 +15,8 @@ from genie_tts_tpu.models import prompt_encoder, sovits, sv, t2s
 from genie_tts_tpu.runtime.model_manager import model_manager
 from genie_tts_tpu.utils.wavio import read_wav, write_wav
 
+pytestmark = pytest.mark.slow  # module fixture compiles full model graphs (minutes on CPU)
+
 GIN = 24
 TCFG = T2SConfig(
     phoneme_vocab=732, semantic_vocab=33, embed_dim=32, num_layers=2,
