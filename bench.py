@@ -269,35 +269,52 @@ def main():
             min_steps=min_steps, max_steps=min_steps + 56, pcm16=True)
 
     _stage("warmup/compile")
-    # ---- warmup: compile every (phoneme-bucket x min_steps) graph the
-    # suite will hit — exactly what engine.warmup's bucket sweep does for a
-    # server. The fused-path graph keys on (x_bucket, t_bucket, steps);
-    # one representative sentence per bucket pair covers the suite.
+    # ---- warmup: compile every graph the suite will hit — exactly what
+    # engine.warmup's bucket sweep does for a server. The fused path keys
+    # on (x_bucket, t_bucket, step CAP) with min/max steps riding the
+    # dispatch as traced scalars, and the whole MIN_STEPS_LADDER buckets
+    # to ONE cap (pick_bucket(156|206|256, step_caps) = 256) — so one
+    # representative sentence per bucket pair covers the suite and the
+    # ladder adds NOTHING to the reachable graph set. (r4's warmup ran
+    # reps x ladder = 3x redundant synths; the r4 "22.6 s cold start"
+    # was two-thirds re-executing already-warm graphs.)
     from genie_tts_tpu.runtime.buckets import pick_bucket
 
-    reps = {}
+    reps, caps = {}, set()
     for s in suite:
         n = len(phones_cache[s])
         key = (pick_bucket(len(ref.phones) + n, cfg.phoneme_buckets),
-               pick_bucket(n, cfg.phoneme_buckets))
+               pick_bucket(n, cfg.phoneme_buckets),
+               pick_bucket(MIN_STEPS_LADDER[0] + 56, cfg.step_caps))
+        caps.update(pick_bucket(ms + 56, cfg.step_caps)
+                    for ms in MIN_STEPS_LADDER)
         reps.setdefault(key, s)
+    assert len(caps) == 1, f"ladder spans step caps {caps}: warm each"
     t0 = time.perf_counter()
-    jobs = [(rep, ms) for rep in reps.values() for ms in MIN_STEPS_LADDER]
+    jobs = [(rep, MIN_STEPS_LADDER[0]) for rep in reps.values()]
+    per_job = {}
+
+    def _warm(job):
+        t1 = time.perf_counter()
+        synth(job[0], seed=0, min_steps=job[1])
+        per_job[job[0][:24]] = round(time.perf_counter() - t1, 1)
+
     if backend == "cpu":
         # XLA:CPU segfaults when a compile races other threads' compute
         # (tests/conftest.py forensics) — warm serially there
-        for rep, ms in jobs:
-            synth(rep, seed=0, min_steps=ms)
+        for job in jobs:
+            _warm(job)
     else:
         # compiles run in C++ with the GIL released; overlapping the
-        # ladder halves the cold-start wall time (serial: 90-155 s)
+        # bucket reps halves the cold-start wall time
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=4) as ex:
-            for _ in ex.map(lambda j: synth(j[0], seed=0, min_steps=j[1]),
-                            jobs):
+            for _ in ex.map(_warm, jobs):
                 pass
     compile_s = time.perf_counter() - t0
+    print(f"# warmup: {len(jobs)} distinct graphs, per-graph wall "
+          f"{per_job}", file=sys.stderr, flush=True)
 
     _stage("headline")
     # ---- headline: 100 EOS-terminated utterances, variable lengths
